@@ -1,0 +1,90 @@
+"""Checkpoint IO: training state save/load with resume-from-latest.
+
+TPU-native equivalent of the reference CheckpointIO
+(torch_utils/distributed.py:100-154): named state objects gathered into one
+file, saved by process 0 only, `load_latest` picks the highest-indexed
+`training-state-*.pt` in the run dir (same regex/naming as the reference so
+external tooling keeps working).
+
+Arrays are stored as numpy inside a plain pickle — portable, no framework
+state embedded. Device placement/sharding is reapplied by the caller after
+load (the trainer re-shards params onto its mesh).
+"""
+
+import os
+import pickle
+import re
+from typing import Optional
+
+import numpy as np
+import jax
+
+from vivid_tpu.core import dist
+
+_STATE_RE = re.compile(r"training-state-(\d+)\.pt")
+
+
+def _to_numpy(tree):
+    return jax.tree.map(
+        lambda x: np.asarray(jax.device_get(x)) if isinstance(x, (jax.Array, np.ndarray)) else x,
+        tree)
+
+
+class CheckpointIO:
+    """Holds named state providers. Each value is either a dict-like pytree or
+    an object with state_dict()/load_state_dict()."""
+
+    def __init__(self, **objects):
+        self.objects = objects
+
+    def _gather(self):
+        out = {}
+        for name, obj in self.objects.items():
+            if hasattr(obj, "state_dict"):
+                out[name] = _to_numpy(obj.state_dict())
+            else:
+                out[name] = _to_numpy(obj)
+        return out
+
+    def save(self, path: str):
+        data = self._gather()
+        if dist.get_rank() == 0:
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                pickle.dump(data, f)
+            os.replace(tmp, path)
+        dist.barrier("checkpoint-save")
+
+    def load(self, path: str):
+        with open(path, "rb") as f:
+            data = pickle.load(f)
+        for name, obj in self.objects.items():
+            if name not in data:
+                continue
+            if hasattr(obj, "load_state_dict"):
+                obj.load_state_dict(data[name])
+            elif isinstance(obj, dict):
+                obj.clear()
+                obj.update(data[name])
+            else:
+                raise ValueError(f"Cannot restore checkpoint entry {name!r}")
+        return data
+
+    def load_latest(self, run_dir: str) -> Optional[str]:
+        path = latest_checkpoint(run_dir)
+        if path is None:
+            return None
+        dist.print0(f"Loading checkpoint {path} ...")
+        self.load(path)
+        return path
+
+
+def latest_checkpoint(run_dir: str) -> Optional[str]:
+    if run_dir is None or not os.path.isdir(run_dir):
+        return None
+    best, best_idx = None, -1
+    for fname in os.listdir(run_dir):
+        m = _STATE_RE.fullmatch(fname)
+        if m and int(m.group(1)) > best_idx:
+            best, best_idx = os.path.join(run_dir, fname), int(m.group(1))
+    return best

@@ -1,0 +1,108 @@
+"""Chunked multi-view scene dataset.
+
+The reference streams LitData chunks of scene records with keys
+`image [V,C,H,W]`, `c2w [V,4,4]`, `fxfycxcy [V,4]`
+(training/custom_litdata_loader.py:41-48, 179-188). The TPU-native
+replacement stores one compressed .npz per scene with the same keys (images
+channel-last uint8) in a flat directory; iteration is infinite, shuffled,
+sharded per process, with the heavy decode work running in the collate/loader
+threads (data/collate.py) so the device never waits on the host.
+
+A converter from LitData chunk dirs is in vivid_tpu/data/convert.py.
+"""
+
+import json
+import os
+import random
+from glob import glob
+from typing import Iterator, Optional
+
+import numpy as np
+
+SCENE_KEYS = ("image", "c2w", "fxfycxcy")
+
+
+def save_scene(path: str, image: np.ndarray, c2w: np.ndarray, fxfycxcy: np.ndarray):
+    """image: [V, H, W, 3] uint8 (channel-last); c2w: [V, 4, 4]; fxfycxcy: [V, 4]."""
+    assert image.ndim == 4 and image.shape[-1] == 3, image.shape
+    np.savez_compressed(path, image=np.asarray(image, np.uint8),
+                        c2w=np.asarray(c2w, np.float32),
+                        fxfycxcy=np.asarray(fxfycxcy, np.float32))
+
+
+def load_scene(path: str) -> dict:
+    with np.load(path) as z:
+        scene = {k: z[k] for k in SCENE_KEYS if k in z}
+    img = scene["image"]
+    if img.ndim == 4 and img.shape[1] in (1, 3) and img.shape[-1] not in (1, 3):
+        scene["image"] = np.moveaxis(img, 1, -1)  # accept NCHW-stored scenes
+    return scene
+
+
+class SceneDataset:
+    """Infinite shuffled iteration over scene .npz files, sharded by process.
+
+    path: directory containing *.npz scene files (searched recursively).
+    """
+
+    def __init__(self, path: str, seed: int = 0, shuffle: bool = True,
+                 process_index: int = 0, process_count: int = 1,
+                 num_channels: int = 3):
+        self.path = path
+        self.files = sorted(glob(os.path.join(path, "**", "*.npz"), recursive=True))
+        if not self.files:
+            raise IOError(f"No scene .npz files found under {path!r}")
+        self.seed = seed
+        self.shuffle = shuffle
+        self.process_index = process_index
+        self.process_count = process_count
+        self.num_channels = num_channels
+
+    def __len__(self):
+        return len(self.files)
+
+    def __iter__(self) -> Iterator[dict]:
+        order = list(range(len(self.files)))
+        rnd = random.Random(self.seed + self.process_index)
+        epoch = 0
+        while True:
+            if self.shuffle:
+                rnd.shuffle(order)
+            for idx in order[self.process_index::self.process_count]:
+                try:
+                    yield load_scene(self.files[idx])
+                except Exception:
+                    continue  # skip corrupt scenes, like the reference collate
+            epoch += 1
+
+
+def synthesize_scene(rng: np.random.RandomState, num_views: int = 8,
+                     imsize: int = 64) -> dict:
+    """Procedural scene for tests/benchmarks: textured gradient views of a
+    smooth camera track with plausible RealEstate10K-scale intrinsics."""
+    views, c2ws, ks = [], [], []
+    base = rng.rand(imsize * 2, imsize * 2, 3) * 255
+    for v in range(num_views):
+        ox, oy = v % (imsize // 2), (v * 3) % (imsize // 2)
+        img = base[oy:oy + imsize, ox:ox + imsize]
+        views.append(img.astype(np.uint8))
+        angle = 0.02 * v
+        c, s = np.cos(angle), np.sin(angle)
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        c2w[:3, 3] = np.array([0.1 * v, 0.01 * v, 0.05 * v], np.float32)
+        c2ws.append(c2w)
+        ks.append(np.array([57.7 + rng.randn(), 57.7 + rng.randn(), 32.0, 32.0],
+                           np.float32))
+    return dict(image=np.stack(views), c2w=np.stack(c2ws), fxfycxcy=np.stack(ks))
+
+
+def make_synthetic_dataset(path: str, num_scenes: int = 8, num_views: int = 8,
+                           imsize: int = 64, seed: int = 0):
+    """Materialize a tiny synthetic dataset on disk (tests / smoke runs)."""
+    os.makedirs(path, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    for i in range(num_scenes):
+        scene = synthesize_scene(rng, num_views=num_views, imsize=imsize)
+        save_scene(os.path.join(path, f"scene_{i:05d}.npz"), **scene)
+    return path

@@ -1,0 +1,122 @@
+"""Deterministic/stochastic 2nd-order Heun EDM sampler with autoguidance.
+
+Parity surface: generate_images.py:43-118. TPU-native shape: the whole
+sampling loop is a single `lax.scan` over the sigma schedule (the reference's
+"prime target for a single jitted lax.scan", SURVEY.md §3.2) — one compiled
+program per (model, shape), 2N-1 denoiser evaluations:
+N-1 scanned Heun steps + one final Euler step.
+
+Autoguidance: D = ref + guidance * (D - ref) with `ref` from the weaker /
+unconditional net (generate_images.py:58-62). Guidance is a traced scalar, so
+changing it does not recompile.
+
+The reference's dual-source even/odd interleave disappears here: x is [B,...]
+throughout (the interleaved rows were kept bit-identical by construction,
+generate_images.py:96-111).
+"""
+
+import math
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vivid_tpu.nn.precond import precond_apply
+
+
+def sigma_schedule(num_steps=32, sigma_min=0.002, sigma_max=80.0, rho=7.0):
+    """EDM rho-schedule + terminal zero (generate_images.py:68-70). Static."""
+    i = np.arange(num_steps, dtype=np.float64)
+    t = (sigma_max ** (1 / rho)
+         + i / (num_steps - 1) * (sigma_min ** (1 / rho) - sigma_max ** (1 / rho))) ** rho
+    return np.concatenate([t, [0.0]]).astype(np.float32)
+
+
+def edm_sampler(denoise: Callable, noise: jax.Array,
+                gnet_denoise: Optional[Callable] = None,
+                num_steps: int = 32, sigma_min: float = 0.002,
+                sigma_max: float = 80.0, rho: float = 7.0, guidance=1.0,
+                S_churn: float = 0.0, S_min: float = 0.0,
+                S_max: float = float("inf"), S_noise: float = 1.0,
+                rng: Optional[jax.Array] = None) -> jax.Array:
+    """denoise(x, t[B]) -> D_x. noise: [B, H, W, C] ~ N(0,1).
+
+    Fully traceable: wrap in jit at the call site (the CLI does). Guidance may
+    be a traced scalar; use gnet_denoise=None for no guidance.
+    """
+    t_steps = jnp.asarray(sigma_schedule(num_steps, sigma_min, sigma_max, rho))
+    b = noise.shape[0]
+
+    def guided(x, t):
+        d = denoise(x, jnp.full((b,), t, jnp.float32))
+        if gnet_denoise is None:
+            return d
+        ref = gnet_denoise(x, jnp.full((b,), t, jnp.float32))
+        return ref + guidance * (d - ref)
+
+    churn_gamma = min(S_churn / num_steps, math.sqrt(2.0) - 1.0) if S_churn > 0 else 0.0
+    base_rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+    def step(x_cur, scan_in):
+        i, t_cur, t_next = scan_in
+        if churn_gamma > 0:
+            use_churn = (t_cur >= S_min) & (t_cur <= S_max)
+            gamma = jnp.where(use_churn, churn_gamma, 0.0)
+            t_hat = t_cur + gamma * t_cur
+            eps = jax.random.normal(jax.random.fold_in(base_rng, i), x_cur.shape,
+                                    x_cur.dtype)
+            x_hat = x_cur + jnp.sqrt(jnp.maximum(t_hat ** 2 - t_cur ** 2, 0.0)) * S_noise * eps
+        else:
+            t_hat, x_hat = t_cur, x_cur
+
+        d_cur = (x_hat - guided(x_hat, t_hat)) / t_hat
+        x_next = x_hat + (t_next - t_hat) * d_cur
+        # 2nd-order correction (valid because scanned steps have t_next > 0).
+        d_prime = (x_next - guided(x_next, t_next)) / t_next
+        x_next = x_hat + (t_next - t_hat) * (0.5 * d_cur + 0.5 * d_prime)
+        return x_next, None
+
+    x = noise.astype(jnp.float32) * t_steps[0]
+    if num_steps > 1:
+        scan_in = (jnp.arange(num_steps - 1), t_steps[:-2], t_steps[1:-1])
+        x, _ = jax.lax.scan(step, x, scan_in)
+
+    # Final Euler step to sigma = 0 (no correction, reference i == N-1 branch).
+    t_cur, t_next = t_steps[-2], t_steps[-1]
+    if churn_gamma > 0:
+        use_churn = (t_cur >= S_min) & (t_cur <= S_max)
+        gamma = jnp.where(use_churn, churn_gamma, 0.0)
+        t_hat = t_cur + gamma * t_cur
+        eps = jax.random.normal(jax.random.fold_in(base_rng, num_steps - 1),
+                                x.shape, x.dtype)
+        x = x + jnp.sqrt(jnp.maximum(t_hat ** 2 - t_cur ** 2, 0.0)) * S_noise * eps
+    else:
+        t_hat = t_cur
+    x = x + (t_next - t_hat) * (x - guided(x, t_hat)) / t_hat
+    return x
+
+
+def make_denoiser(params, cfg, src=None, geometry=None, conditioning_image=None,
+                  rng=None, precompute_features: Optional[bool] = None):
+    """Bind an NVPrecond (params, cfg) + conditioning into a `denoise(x, t)`
+    closure for edm_sampler. When the model was trained with `no_time_enc`,
+    encoder features are computed ONCE here and injected into every sampler
+    step (reference inject_features path, generate_images.py:52-53 /
+    models.py:664-667) — under jit this hoists ~half the FLOPs out of the
+    denoising loop."""
+    features = None
+    if precompute_features is None:
+        precompute_features = cfg.no_time_enc and not cfg.uncond
+    if precompute_features:
+        b = src.shape[0]
+        features = precond_apply(params, cfg, src, jnp.zeros(src.shape[:1] + src.shape[2:]),
+                                 jnp.ones((b,)), geometry, return_features=True)
+
+    def denoise(x, t):
+        return precond_apply(params, cfg, src, x, t, geometry,
+                             conditioning_image=conditioning_image,
+                             inject_features=features, rng=rng)
+
+    return denoise

@@ -1,0 +1,161 @@
+"""EDM2 U-Net blocks (Figure 21) with optional self- and cross-attention.
+
+Parity surface: training/models.py Block (:131-206) and XAttnBlock (:211-315).
+Re-designed channel-last; attention is a single fused softmax-attention over
+[self-KV ‖ cross-KV...] with pixel-normalized q/k/v (normalize over the head
+dim, fp32 accumulation) and SDPA scaling 1/sqrt(D).
+
+The qkv/kv channel packing follows the reference weight layout contract:
+attn_qkv output channels decompose as (head, d, {q,k,v}) innermost-last, and
+x_attn_kv as (head, d, {k,v}) — torch's `.view(B, H, D, 3, S)` semantics —
+so imported weights drop in unchanged.
+
+Epipolar attention bias: the live reference carries the `epipolar_mixing`
+parameter but never applies it (models.py:305); the upstream snapshot applies
+it as an additive logit bias on the cross-KV segment
+(experiments/code/training/models.py:274-282). We implement the upstream
+mechanism behind the `epipolar_attention_bias` flag, generalized to one bias
+per cross source in dual-source mode.
+"""
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vivid_tpu.geometry.epipolar import get_epipolar_dist, get_epipolar_attn
+from vivid_tpu.nn.mp import (mp_conv_apply, mp_conv_init, mp_silu, mp_sum,
+                             normalize, resample)
+
+
+@dataclass(frozen=True)
+class BlockConfig:
+    in_channels: int
+    out_channels: int
+    emb_channels: int
+    flavor: str = "enc"              # 'enc' | 'dec'
+    resample_mode: str = "keep"      # 'keep' | 'up' | 'down'
+    attention: bool = False
+    xattn: bool = False              # cross-attention variant (XAttnBlock)
+    num_cross_sources: int = 2       # KV sources for xattn (2 = dual-source)
+    channels_per_head: int = 64
+    dropout: float = 0.0
+    res_balance: float = 0.3
+    attn_balance: float = 0.3
+    clip_act: Optional[float] = 256.0
+    epipolar_attention_bias: bool = False
+    imsize: Optional[int] = None     # full image resolution (epipolar bias)
+
+    @property
+    def num_heads(self) -> int:
+        return self.out_channels // self.channels_per_head if self.attention else 0
+
+
+def block_init(key, cfg: BlockConfig) -> dict:
+    keys = iter(jax.random.split(key, 8))
+    params = {
+        "emb_gain": jnp.zeros((), jnp.float32),
+        "conv_res0": mp_conv_init(
+            next(keys),
+            cfg.out_channels if cfg.flavor == "enc" else cfg.in_channels,
+            cfg.out_channels, (3, 3)),
+        "emb_linear": mp_conv_init(next(keys), cfg.emb_channels, cfg.out_channels, ()),
+        "conv_res1": mp_conv_init(next(keys), cfg.out_channels, cfg.out_channels, (3, 3)),
+    }
+    if cfg.in_channels != cfg.out_channels:
+        params["conv_skip"] = mp_conv_init(next(keys), cfg.in_channels, cfg.out_channels, (1, 1))
+    if cfg.num_heads != 0:
+        params["attn_qkv"] = mp_conv_init(next(keys), cfg.out_channels, cfg.out_channels * 3, (1, 1))
+        params["attn_proj"] = mp_conv_init(next(keys), cfg.out_channels, cfg.out_channels, (1, 1))
+        if cfg.xattn:
+            params["x_attn_kv"] = mp_conv_init(next(keys), cfg.out_channels, cfg.out_channels * 2, (1, 1))
+            if cfg.epipolar_attention_bias:
+                params["epipolar_mixing"] = jnp.zeros((4, cfg.num_heads), jnp.float32)
+    return params
+
+
+def _split_qkv(qkv, num_heads, parts):
+    """[B, H, W, parts*C] -> tuple of `parts` tensors [B, S, heads, D], with the
+    torch view(B, heads, D, parts, S) channel decomposition and per-(token,
+    head, part) normalization over D."""
+    b, h, w, _ = qkv.shape
+    d = qkv.shape[-1] // (num_heads * parts)
+    y = qkv.reshape(b, h * w, num_heads, d, parts)
+    y = normalize(y, axis=3)
+    return tuple(y[..., i] for i in range(parts))
+
+
+def attention(q, k, v, bias=None):
+    """q: [B, Sq, H, D], k/v: [B, Sk, H, D] -> [B, Sq, H, D]. fp32 softmax."""
+    d = q.shape[-1]
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) / jnp.sqrt(
+                            jnp.asarray(d, jnp.float32))
+    if bias is not None:
+        logits = logits + bias.astype(logits.dtype)
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
+
+
+def block_apply(params: dict, cfg: BlockConfig, x, emb,
+                features: Optional[List[jax.Array]] = None,
+                src_geometries: Optional[List[jax.Array]] = None,
+                train: bool = False, dropout_key=None):
+    """x: [B, H, W, Cin]; emb: [B, cemb]; features: list of [B, h, w, Cout]
+    cross-attention sources (xattn only)."""
+    x = resample(x, cfg.resample_mode)
+    if cfg.flavor == "enc":
+        if "conv_skip" in params:
+            x = mp_conv_apply(params["conv_skip"], x)
+        x = normalize(x, axis=-1)  # pixel norm over channels
+
+    # Residual branch.
+    y = mp_conv_apply(params["conv_res0"], mp_silu(x))
+    c = mp_conv_apply(params["emb_linear"], emb, gain=params["emb_gain"]) + 1.0
+    y = mp_silu(y * c[:, None, None, :].astype(y.dtype))
+    if train and cfg.dropout > 0:
+        assert dropout_key is not None, "dropout requires a key in training mode"
+        keep = jax.random.bernoulli(dropout_key, 1.0 - cfg.dropout, y.shape)
+        y = jnp.where(keep, y / (1.0 - cfg.dropout), 0.0).astype(y.dtype)
+    y = mp_conv_apply(params["conv_res1"], y)
+
+    if cfg.flavor == "dec" and "conv_skip" in params:
+        x = mp_conv_apply(params["conv_skip"], x)
+    x = mp_sum(x, y, t=cfg.res_balance)
+
+    # Attention.
+    if cfg.num_heads != 0:
+        b, h, w, ch = x.shape
+        qkv = mp_conv_apply(params["attn_qkv"], x)
+        q, k, v = _split_qkv(qkv, cfg.num_heads, 3)
+
+        bias = None
+        if cfg.xattn:
+            assert features is not None and len(features) == cfg.num_cross_sources
+            ks, vs = [k], [v]
+            for feat in features:
+                kv = mp_conv_apply(params["x_attn_kv"], feat.astype(x.dtype))
+                kc, vc = _split_qkv(kv, cfg.num_heads, 2)
+                ks.append(kc)
+                vs.append(vc)
+            s_self = k.shape[1]
+            k = jnp.concatenate(ks, axis=1)
+            v = jnp.concatenate(vs, axis=1)
+            if "epipolar_mixing" in params and src_geometries is not None:
+                patch = cfg.imsize // h
+                biases = [jnp.zeros((b, cfg.num_heads, h * w, s_self), jnp.float32)]
+                for geo, feat in zip(src_geometries, features):
+                    dist = get_epipolar_dist(geo, cfg.imsize, patch)
+                    ep = get_epipolar_attn(dist, params["epipolar_mixing"], patch_size=patch)
+                    biases.append(ep)  # upstream adds [B, H, Sq, Sk_cross] as-is
+                bias = jnp.concatenate(biases, axis=-1)
+
+        y = attention(q, k, v, bias=bias)
+        y = y.reshape(b, h, w, ch)  # (head, d) packing == torch channel order
+        y = mp_conv_apply(params["attn_proj"], y)
+        x = mp_sum(x, y, t=cfg.attn_balance)
+
+    if cfg.clip_act is not None:
+        x = jnp.clip(x, -cfg.clip_act, cfg.clip_act)
+    return x
