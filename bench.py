@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Headline benchmark: NVPrecond denoiser forward throughput on one chip.
+
+Baseline (BASELINE.md): the reference profile measured the dual-source
+NVPrecond at model_channels=64 on an NVIDIA A40 at 733.53 GMACs/forward,
+863.91 ms, i.e. 1.70 TFLOP/s achieved (visualize.json:2). This benchmark runs
+the same architecture in bfloat16 on the local chip, measures steady-state
+forward latency, derives achieved TFLOP/s from XLA's cost analysis, and
+reports vs_baseline = achieved / 1.70.
+
+Prints ONE JSON line:
+  {"metric": "precond_fwd_tflops", "value": N, "unit": "TFLOP/s", "vs_baseline": N}
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+A40_BASELINE_TFLOPS = 1.70  # visualize.json: 733.53 GMACs in 863.91 ms
+
+
+def main():
+    from vivid_tpu.nn.precond import PrecondConfig, precond_apply, precond_init
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    batch = 16 if on_tpu else 2
+    cfg = PrecondConfig(img_resolution=64, num_sources=2, model_channels=64,
+                        extra_attn=1, use_bf16=on_tpu, remat=False)
+    params = precond_init(jax.random.PRNGKey(0), cfg)
+
+    key = jax.random.PRNGKey(1)
+    src = jax.random.normal(key, (batch, 2, 64, 64, 3))
+    dst = jax.random.normal(jax.random.fold_in(key, 1), (batch, 64, 64, 3))
+    sigma = jnp.exp(jax.random.normal(jax.random.fold_in(key, 2), (batch,)))
+    geometry = jax.random.normal(jax.random.fold_in(key, 3), (batch, 2, 20))
+
+    fwd = jax.jit(lambda p, s, d, sg, g: precond_apply(p, cfg, s, d, sg, g))
+    lowered = fwd.lower(params, src, dst, sigma, geometry)
+    compiled = lowered.compile()
+    cost = compiled.cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0]
+    flops = float(cost.get("flops", 0.0))
+
+    # Warm up, then measure steady state. The axon tunnel executes lazily —
+    # block_until_ready does not actually synchronize — so we chain iterations
+    # (output feeds the next input) and force execution with a scalar fetch,
+    # then difference two chain lengths to cancel the fetch/tunnel overhead.
+    import numpy as np
+
+    def timed_chain(iters):
+        t0 = time.perf_counter()
+        o = dst
+        for _ in range(iters):
+            o = fwd(params, src, o, sigma, geometry)
+        _ = np.asarray(o[0, 0, 0, 0])
+        return time.perf_counter() - t0
+
+    n1, n2 = (5, 25) if on_tpu else (1, 3)
+    timed_chain(2)  # warm up
+    t1 = min(timed_chain(n1) for _ in range(3))
+    t2 = min(timed_chain(n2) for _ in range(3))
+    dt = max((t2 - t1) / (n2 - n1), 1e-9)
+
+    tflops = flops / dt / 1e12
+    print(json.dumps({
+        "metric": "precond_fwd_tflops",
+        "value": round(tflops, 3),
+        "unit": "TFLOP/s",
+        "vs_baseline": round(tflops / A40_BASELINE_TFLOPS, 3),
+        "detail": {
+            "batch": batch,
+            "latency_ms": round(dt * 1e3, 2),
+            "gflops_per_fwd": round(flops / 1e9, 1),
+            "platform": jax.devices()[0].platform,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

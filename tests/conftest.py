@@ -1,13 +1,23 @@
 """Test configuration: force an 8-device virtual CPU mesh so all sharding /
-collective logic is exercised without TPU hardware (SURVEY.md §4)."""
+collective logic is exercised without TPU hardware (SURVEY.md §4).
+
+Note: this environment pre-imports jax with JAX_PLATFORMS=axon (one real TPU
+chip through a tunnel), so env vars are too late — the platform must be
+forced through jax.config before the first backend initialization.
+"""
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # override the session's axon/TPU default
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
-import jax  # noqa: E402  (import after env setup)
+import jax  # noqa: E402
 
-jax.config.update("jax_default_matmul_precision", "highest")
+jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running end-to-end test")

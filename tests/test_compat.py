@@ -1,0 +1,196 @@
+"""Torch persistence-pickle import tests.
+
+Builds a synthetic pickle following the reference persistence protocol
+(reduce -> _reconstruct_persistent_obj(meta) with embedded module source,
+torch_utils/persistence.py:189-237) and checks the standalone reader +
+name/layout mapping into the vivid_tpu param tree.
+"""
+
+import pickle
+
+import numpy as np
+import pytest
+
+from vivid_tpu.compat.torch_pickle import (load_reference_module,
+                                           map_torch_state, extract_config)
+
+
+EMBEDDED_SRC = '''
+import torch
+
+class TinyNet(torch.nn.Module):
+    def __init__(self, width=4):
+        super().__init__()
+        self.init_kwargs = dict(img_resolution=64, model_channels=width,
+                                target_label_dim=40, extra_attn=1)
+        self.img_resolution = 64
+        self.img_channels = 3
+        self.weight = torch.nn.Parameter(torch.ones(width))
+'''
+
+
+class _FakePersistent:
+    """Pickles exactly like a reference persistent object."""
+
+    def __init__(self, meta):
+        self.meta = meta
+
+    def __reduce__(self):
+        # The reference pickles as (persistence._reconstruct_persistent_obj, (meta,)).
+        fn = _Ref("torch_utils.persistence", "_reconstruct_persistent_obj")
+        return (fn, (self.meta,))
+
+
+class _Ref:
+    """Stand-in that pickles as a named global from a given module."""
+
+    def __init__(self, module, name):
+        self.module = module
+        self.name = name
+
+    def __reduce__(self):
+        raise NotImplementedError
+
+
+def _make_reference_pickle(tmp_path):
+    # Hand-craft the pickle stream: GLOBAL torch_utils.persistence
+    # _reconstruct_persistent_obj, then the meta dict, REDUCE.
+    meta = dict(type="class", version=3, module_src=EMBEDDED_SRC,
+                class_name="TinyNet",
+                state={"init_kwargs": {"img_resolution": 64}})
+    import pickletools
+
+    class Shim:
+        pass
+
+    # Easiest faithful approach: a custom Pickler that emits the global ref.
+    class RefPickler(pickle.Pickler):
+        def reducer_override(self, obj):
+            return NotImplemented
+
+    import io
+    buf = io.BytesIO()
+
+    # Build via protocol machinery: encode a callable stub whose
+    # __module__/__qualname__ match the persistence entry point.
+    def _reconstruct_persistent_obj(meta):  # noqa: F811 — name is the payload
+        raise RuntimeError("should never run at pickle time")
+
+    _reconstruct_persistent_obj.__module__ = "torch_utils.persistence"
+    _reconstruct_persistent_obj.__qualname__ = "_reconstruct_persistent_obj"
+
+    class Carrier:
+        def __reduce__(self):
+            return (_reconstruct_persistent_obj, (meta,))
+
+    data = {"ema": Carrier(), "dataset_kwargs": {"path": "/x"}}
+    path = str(tmp_path / "ref-snapshot.pkl")
+    import sys, types
+    fake_pkg = types.ModuleType("torch_utils")
+    fake_mod = types.ModuleType("torch_utils.persistence")
+    fake_mod._reconstruct_persistent_obj = _reconstruct_persistent_obj
+    fake_pkg.persistence = fake_mod
+    sys.modules.setdefault("torch_utils", fake_pkg)
+    sys.modules["torch_utils.persistence"] = fake_mod
+    with open(path, "wb") as f:
+        pickle.dump(data, f)
+    del sys.modules["torch_utils.persistence"]
+    if getattr(sys.modules.get("torch_utils"), "persistence", None) is fake_mod:
+        del sys.modules["torch_utils"]
+    return path
+
+
+def test_reference_pickle_protocol_round_trip(tmp_path):
+    path = _make_reference_pickle(tmp_path)
+    data = load_reference_module(path)
+    net = data["ema"]
+    assert type(net).__name__ == "TinyNet"
+    # __setstate__ path restored the recorded state dict.
+    assert net.init_kwargs == {"img_resolution": 64}
+    assert data["dataset_kwargs"] == {"path": "/x"}
+
+
+def test_map_torch_state_names_and_layouts():
+    named_params = {
+        "unet.out_gain": np.zeros(()),
+        "unet.out_conv.weight": np.arange(3 * 4 * 3 * 3, dtype=np.float32
+                                          ).reshape(3, 4, 3, 3),  # OIHW
+        "unet.emb_noise.weight": np.arange(8 * 6, dtype=np.float32).reshape(8, 6),
+        "encoder.enc.64x64_block0.conv_res0.weight": np.ones((4, 4, 3, 3)),
+        "encoder.enc.64x64_block0.emb_gain": np.zeros(()),
+        "unet.dec.8x8_in0.attn_qkv.weight": np.ones((12, 4, 1, 1)),
+    }
+    named_buffers = {
+        "logvar_fourier.freqs": np.ones(128),
+        "unet.emb_fourier.phases": np.ones(16),
+    }
+    tree = map_torch_state(named_params, named_buffers)
+    assert tree["unet"]["out_conv"]["w"].shape == (3, 3, 4, 3)       # HWIO
+    # Transpose correctness: OIHW[o,i,h,w] == HWIO[h,w,i,o].
+    np.testing.assert_array_equal(
+        tree["unet"]["out_conv"]["w"][1, 2, 3, 0],
+        named_params["unet.out_conv.weight"][0, 3, 1, 2])
+    assert tree["unet"]["emb_noise"]["w"].shape == (6, 8)            # [in,out]
+    assert tree["encoder"]["enc/64x64_block0"]["conv_res0"]["w"].shape == (3, 3, 4, 4)
+    assert tree["encoder"]["enc/64x64_block0"]["emb_gain"].shape == ()
+    assert tree["unet"]["dec/8x8_in0"]["attn_qkv"]["w"].shape == (1, 1, 4, 12)
+    assert tree["logvar_fourier"]["freqs"].shape == (128,)
+    assert tree["unet"]["emb_fourier"]["phases"].shape == (16,)
+
+
+def test_mapped_tree_loads_into_model():
+    """A tree mapped from reference-style names must be structurally identical
+    to a fresh precond_init tree (same keys, same shapes)."""
+    import jax
+    from vivid_tpu.nn.precond import PrecondConfig, precond_init
+
+    cfg = PrecondConfig(img_resolution=16, num_sources=2, model_channels=16,
+                        channel_mult=(1, 2), num_blocks=1, attn_resolutions=(8,),
+                        channels_per_head=8, use_bf16=False)
+    params = precond_init(jax.random.PRNGKey(0), cfg)
+
+    # Re-derive torch-style names from our tree and map them back.
+    named_params = {}
+
+    def walk(node, prefix):
+        for k, v in node.items():
+            name = k.replace("/", ".")
+            if isinstance(v, dict):
+                walk(v, prefix + name + ".")
+            else:
+                arr = np.asarray(v)
+                if k == "w":
+                    leaf = prefix[:-1] + ".weight"
+                    if arr.ndim == 4:
+                        arr = arr.transpose(3, 2, 0, 1)      # HWIO -> OIHW
+                    elif arr.ndim == 2:
+                        arr = arr.transpose(1, 0)
+                    named_params[leaf] = arr
+                else:
+                    named_params[prefix + name] = arr
+
+    walk(params, "")
+    tree = map_torch_state(named_params, {})
+    flat_a = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(tree)[0]
+    paths_a = {jax.tree_util.keystr(p): v.shape for p, v in flat_a}
+    paths_b = {jax.tree_util.keystr(p): np.asarray(v).shape for p, v in flat_b}
+    assert paths_a == paths_b
+    # Values survive the double transpose.
+    np.testing.assert_allclose(
+        np.asarray(params["unet"]["out_conv"]["w"]),
+        np.asarray(tree["unet"]["out_conv"]["w"]))
+
+
+def test_extract_config_dual_source_detection():
+    class FakeNet:
+        init_kwargs = dict(img_resolution=64, model_channels=128,
+                           target_label_dim=40, extra_attn=1, uncond=None)
+        img_resolution = 64
+        img_channels = 3
+
+    cfg = extract_config(FakeNet())
+    assert cfg["num_sources"] == 2
+    assert cfg["model_channels"] == 128
+    assert cfg["extra_attn"] == 1
+    assert cfg["uncond"] is False

@@ -1,0 +1,183 @@
+"""Reader for the reference's torch persistence pickles.
+
+The reference persists models as pickles whose reduce hook calls
+`torch_utils.persistence._reconstruct_persistent_obj(meta)`, where `meta`
+carries the defining module's full source, the class name, and the object
+state (torch_utils/persistence.py:189-237). Loading therefore normally
+requires the original package tree. This module implements that documented
+protocol standalone: a custom Unpickler maps the persistence entry points to
+a local reconstructor that executes the *pickle-embedded* source in a
+synthetic module (torch present => faithful reconstruction), then walks
+`named_parameters`/`named_buffers` and maps them into this framework's param
+pytree (name translation + OIHW->HWIO layout transpose).
+
+Security note: like the reference loader, this executes code embedded in the
+pickle — only load checkpoints you trust (the shipped vivid-*.pkl artifacts).
+"""
+
+import io
+import pickle
+import re
+import sys
+import types
+import uuid
+from typing import Dict, Tuple
+
+import numpy as np
+
+from vivid_tpu.core.easydict import EasyDict
+
+
+# ---------------------------------------------------------------------------
+# Persistence-protocol reconstruction (requires torch; CPU is fine).
+
+def _src_to_module(src: str) -> types.ModuleType:
+    module_name = "_vivid_compat_" + uuid.uuid4().hex
+    module = types.ModuleType(module_name)
+    sys.modules[module_name] = module
+    module.__dict__["__file__"] = module_name + ".py"
+    exec(src, module.__dict__)  # noqa: S102 — documented persistence protocol
+    return module
+
+
+def _reconstruct_persistent_obj(meta):
+    meta = EasyDict(meta)
+    module = _src_to_module(meta.module_src)
+    cls = getattr(module, meta.class_name)
+    obj = cls.__new__(cls)
+    setstate = getattr(obj, "__setstate__", None)
+    if callable(setstate):
+        setstate(meta.state)
+    else:
+        obj.__dict__.update(meta.state)
+    return obj
+
+
+class _ReferenceUnpickler(pickle.Unpickler):
+    """Routes torch_utils.persistence/dnnlib lookups to local shims so the
+    reference package need not be importable."""
+
+    def find_class(self, module, name):
+        if name == "_reconstruct_persistent_obj":
+            return _reconstruct_persistent_obj
+        if module.startswith("dnnlib") and name == "EasyDict":
+            return EasyDict
+        return super().find_class(module, name)
+
+
+def load_reference_module(path: str):
+    """Unpickle a reference snapshot -> dict with the torch net under 'ema'
+    (or 'net') plus auxiliary entries."""
+    with open(path, "rb") as f:
+        return _ReferenceUnpickler(f).load()
+
+
+# ---------------------------------------------------------------------------
+# Name + layout mapping: torch module paths -> vivid_tpu param pytree.
+
+def _set_leaf(tree: dict, path: Tuple[str, ...], value):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def map_torch_state(named_params: Dict[str, np.ndarray],
+                    named_buffers: Dict[str, np.ndarray]) -> dict:
+    """Translate the reference NVPrecond state into this framework's pytree.
+
+    Torch name grammar (models.py):
+      encoder.enc.64x64_block0.conv_res0.weight  -> encoder/enc/64x64_block0/conv_res0/w
+      unet.dec.8x8_in0.emb_gain                  -> unet/dec/8x8_in0/emb_gain
+      unet.out_gain / unet.out_conv.weight       -> unet/out_gain, unet/out_conv/w
+      logvar_fourier.freqs (buffer)              -> logvar_fourier/freqs
+    Layout: conv OIHW -> HWIO; linear [out,in] -> [in,out].
+    """
+    tree: dict = {}
+
+    def convert(name: str, arr: np.ndarray):
+        arr = np.asarray(arr, np.float32)
+        parts = name.split(".")
+        if parts[-1] == "weight":
+            parts[-1] = "w"
+            if arr.ndim == 4:
+                arr = arr.transpose(2, 3, 1, 0)      # OIHW -> HWIO
+            elif arr.ndim == 2:
+                arr = arr.transpose(1, 0)            # [out,in] -> [in,out]
+        # enc/dec sub-dicts keep their block names as single path segments:
+        # "encoder.enc.64x64_block0.conv_res0" has the module-dict key
+        # "64x64_block0" — our tree keys are "enc/64x64_block0".
+        out = []
+        i = 0
+        while i < len(parts):
+            if parts[i] in ("enc", "dec") and i + 1 < len(parts):
+                out.append(parts[i] + "/" + parts[i + 1])
+                i += 2
+            else:
+                out.append(parts[i])
+                i += 1
+        _set_leaf(tree, tuple(out), arr)
+
+    for name, arr in named_params.items():
+        convert(name, arr)
+    for name, arr in named_buffers.items():
+        convert(name, arr)
+    return tree
+
+
+def extract_config(net) -> dict:
+    """Derive a PrecondConfig kwargs dict from a reconstructed torch
+    NVPrecond (init args recorded by the persistence layer)."""
+    kwargs = dict(getattr(net, "init_kwargs", {}) or {})
+    mapped = dict(
+        img_resolution=kwargs.get("img_resolution", getattr(net, "img_resolution", 64)),
+        img_channels=kwargs.get("img_channels", getattr(net, "img_channels", 3)),
+        source_label_dim=kwargs.get("source_label_dim", 20),
+        target_label_dim=kwargs.get("target_label_dim", 40),
+        sigma_data=kwargs.get("sigma_data", 0.5),
+        logvar_channels=kwargs.get("logvar_channels", 128),
+        super_res=bool(kwargs.get("super_res", False)),
+        no_time_enc=bool(kwargs.get("no_time_enc") or False),
+        depth_input=bool(kwargs.get("depth_input", False)),
+        warp_depth_coor=bool(kwargs.get("warp_depth_coor", False)),
+        uncond=bool(kwargs.get("uncond") or False),
+        noisy_sr=kwargs.get("noisy_sr", 0.25),
+        model_channels=kwargs.get("model_channels", 192),
+        channel_mult=tuple(kwargs.get("channel_mult", (1, 2, 3, 4))),
+        channel_mult_noise=kwargs.get("channel_mult_noise"),
+        channel_mult_emb=kwargs.get("channel_mult_emb"),
+        num_blocks=kwargs.get("num_blocks", 3),
+        attn_resolutions=tuple(kwargs.get("attn_resolutions", (16, 8))),
+        extra_attn=kwargs.get("extra_attn"),
+        epipolar_attention_bias=bool(kwargs.get("epipolar_attention_bias", False)),
+        channels_per_head=kwargs.get("channels_per_head", 64),
+        dropout=kwargs.get("dropout", 0.0),
+    )
+    mapped["target_label_dim"] = kwargs.get("target_label_dim", 40)
+    mapped["num_sources"] = 2 if mapped["target_label_dim"] == 40 else 1
+    return mapped
+
+
+def load_reference_pickle(path: str) -> EasyDict:
+    """Full import path: reference pickle -> (jax params, PrecondConfig)."""
+    import jax.numpy as jnp
+    from vivid_tpu.nn.precond import PrecondConfig
+
+    data = load_reference_module(path)
+    net = data.get("ema", data.get("net"))
+    assert net is not None, f"no 'ema'/'net' entry in {path}"
+    named_params = {k: v.detach().cpu().numpy() for k, v in net.named_parameters()}
+    named_buffers = {k: v.detach().cpu().numpy() for k, v in net.named_buffers()}
+    tree = map_torch_state(named_params, named_buffers)
+    cfg = PrecondConfig(**extract_config(net))
+    params = _flatten_to_jax(tree)
+    return EasyDict(params=params, cfg=cfg,
+                    encoder="vivid_tpu.data.encoders.StandardRGBEncoder",
+                    dataset_kwargs=dict(data.get("dataset_kwargs", {}) or {}),
+                    loss_kwargs={})
+
+
+def _flatten_to_jax(tree):
+    import jax
+    import jax.numpy as jnp
+    return jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), tree)

@@ -94,10 +94,10 @@ class PowerFunctionEMA:
 
     def __init__(self, params, stds=(0.050, 0.100)):
         self.stds = list(stds)
-        self.emas = [jax.tree.map(jnp.asarray, params) for _ in self.stds]
+        self.emas = [jax.tree.map(lambda x: jnp.array(x, copy=True), params) for _ in self.stds]
 
     def reset(self, params):
-        self.emas = [jax.tree.map(jnp.asarray, params) for _ in self.stds]
+        self.emas = [jax.tree.map(lambda x: jnp.array(x, copy=True), params) for _ in self.stds]
 
     def update(self, params, cur_nimg, batch_size):
         self.emas = ema_update(self.emas, params, float(cur_nimg),
@@ -120,10 +120,10 @@ class TraditionalEMA:
     def __init__(self, params, halflife_Mimg=float("inf"), rampup_ratio=0.09):
         self.halflife_Mimg = halflife_Mimg
         self.rampup_ratio = rampup_ratio
-        self.ema = jax.tree.map(jnp.asarray, params)
+        self.ema = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
 
     def reset(self, params):
-        self.ema = jax.tree.map(jnp.asarray, params)
+        self.ema = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
 
     def update(self, params, cur_nimg, batch_size):
         halflife = self.halflife_Mimg

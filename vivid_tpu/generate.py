@@ -1,0 +1,212 @@
+"""Image generation pipeline: load snapshots, sample novel views, optional
+base->SR cascade, write PNGs.
+
+Parity surface: generate_images.py:139-343 (`generate_images_nvs` and its
+lazy ImageIterable contract: yields EasyDict(images, src, tgt, labels, noise,
+seeds, ...) per batch, writes src_/tgt_/sample_{seed:06d}.png when outdir is
+set, shards seeds across processes).
+
+TPU shape: one jitted sampler program per (model, batch shape); the guidance
+strength is a traced argument (no recompile per guidance value); per-seed
+noise comes from fold_in streams so results are independent of batching and
+process count (StackedRandomGenerator contract).
+"""
+
+import os
+import time
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import PIL.Image
+
+from vivid_tpu.core import dist
+from vivid_tpu.core.easydict import EasyDict
+from vivid_tpu.core.rngs import seeded_normal
+from vivid_tpu.data.collate import BatchLoader, DualSourceCollate, VanillaCollate
+from vivid_tpu.data.encoders import StandardRGBEncoder
+from vivid_tpu.data.scenes import SceneDataset
+from vivid_tpu.diffusion.sampler import edm_sampler, make_denoiser
+from vivid_tpu.train.snapshots import load_snapshot, resolve_model
+
+config_presets = {
+    "vivid": EasyDict(net="vivid-base.pkl", sr_model="vivid-sr.pkl",
+                      gnet="vivid-uncond.pkl", guidance=1.5,
+                      range_selection="mid"),
+}
+
+
+def _build_sampler(cfg, gcfg, sampler_kwargs, super_res):
+    """One compiled sampler per (model cfg, shapes). Guidance is traced."""
+    kw = dict(sampler_kwargs)
+    kw.pop("guidance", None)
+
+    @partial(jax.jit, static_argnames=("use_gnet",))
+    def sample(params, gparams, src, geometry, noise, guidance, rng,
+               conditioning_image=None, use_gnet=True):
+        denoise = make_denoiser(params, cfg, src=src, geometry=geometry,
+                                conditioning_image=conditioning_image, rng=rng)
+        gden = None
+        if use_gnet and gcfg is not None:
+            g_src = None if gcfg.uncond else src
+            g_geo = None if gcfg.uncond else geometry
+            gden = make_denoiser(gparams, gcfg, src=g_src, geometry=g_geo,
+                                 conditioning_image=None, rng=rng)
+        return edm_sampler(denoise, noise, gnet_denoise=gden,
+                           guidance=guidance, rng=rng, **kw)
+
+    return sample
+
+
+def generate_images_nvs(
+    net,                                  # snapshot path or loaded EasyDict
+    gnet=None,                            # guidance net (autoguidance reference)
+    encoder=None,
+    outdir: Optional[str] = None,
+    subdirs: bool = False,
+    seeds=range(16, 24),
+    class_idx=None,                       # accepted for CLI parity; unused
+    max_batch_size: int = 32,
+    encoder_batch_size=None,
+    verbose: bool = True,
+    datakwargs: Optional[dict] = None,
+    range_selection=None,                 # plumbed to file datasets only
+    sr_model=None,
+    depth_model=None,
+    vanilla_mode: bool = False,
+    guidance: float = 1.0,
+    rng_seed: int = 0,
+    **sampler_kwargs,
+):
+    # Rank 0 loads first (cache warm), others follow — reference barrier idiom.
+    if dist.get_rank() != 0:
+        dist.barrier("load-net")
+    net = resolve_model(net, name="network")
+    gnet = resolve_model(gnet, name="guidance")
+    sr_model = resolve_model(sr_model, name="SR")
+    if dist.get_rank() == 0:
+        dist.barrier("load-net")
+    if encoder is None:
+        encoder = StandardRGBEncoder()
+    if depth_model is not None and isinstance(depth_model, str):
+        raise NotImplementedError(
+            "DepthAnythingV2 weights are an external dependency; pass a "
+            "callable depth_model or omit it (reference README.md:20-23).")
+
+    cfg = net.cfg
+    params = net.params
+    super_res = cfg.img_resolution == 256
+    num_sources = 1 if vanilla_mode else cfg.num_sources
+
+    # Seed sharding across processes (generate_images.py:199-200).
+    num_batches = max((len(seeds) - 1) // (max_batch_size * dist.get_world_size())
+                      + 1, 1) * dist.get_world_size()
+    rank_batches = np.array_split(np.arange(len(seeds)), num_batches)[
+        dist.get_rank()::dist.get_world_size()]
+
+    datakwargs = dict(datakwargs or {})
+    imsize = cfg.img_resolution
+    collate_cls = VanillaCollate if vanilla_mode else DualSourceCollate
+    sr_size = (sr_model.cfg.img_resolution if sr_model is not None else
+               (256 if super_res else None))
+    collate = collate_cls(imsize=64 if (super_res or sr_model is not None) else imsize,
+                          sr_size=sr_size, seed=rng_seed)
+    dataset = SceneDataset(datakwargs["path"], seed=rng_seed,
+                           process_index=dist.get_rank(),
+                           process_count=dist.get_world_size())
+    loader = BatchLoader(iter(dataset), collate, batch_size=max_batch_size,
+                         prefetch=2, num_threads=2)
+
+    sample_fn = _build_sampler(cfg, gnet.cfg if gnet is not None else None,
+                               sampler_kwargs, super_res)
+    sr_sample_fn = None
+    if sr_model is not None:
+        # No guidance in the SR stage (generate_images.py:230-232).
+        sr_sample_fn = _build_sampler(sr_model.cfg, None, sampler_kwargs, True)
+
+    if verbose:
+        dist.print0(f"Generating {len(seeds)} images...")
+
+    class ImageIterable:
+        def __len__(self):
+            return len(rank_batches)
+
+        def __iter__(self):
+            for batch_idx, indices in enumerate(rank_batches):
+                r = EasyDict(images=None, src=None, tgt=None, labels=None,
+                             noise=None, batch_idx=batch_idx,
+                             num_batches=len(rank_batches), indices=indices)
+                r.seeds = [seeds[int(i)] for i in indices]
+                if len(r.seeds) > 0:
+                    raw = next(loader)
+                    n = min(len(r.seeds), raw["src_image"].shape[0])
+                    r.seeds = r.seeds[:n]
+                    key = "src_image" if not super_res else "sr_src_image"
+                    src_raw = raw[key][:n]
+                    tgt_key = "tgt_image" if not super_res else "sr_tgt_image"
+                    geo_key = "geometry" if not super_res else "sr_geometry"
+                    tgt_raw = raw[tgt_key][:n]
+                    geometry = jnp.asarray(raw[geo_key][:n])
+                    src = encoder.encode_latents(src_raw)
+
+                    noise = seeded_normal(
+                        r.seeds, (imsize, imsize, cfg.img_channels))
+                    rng = jax.random.fold_in(jax.random.PRNGKey(rng_seed),
+                                             batch_idx)
+                    cond = None
+                    if super_res:
+                        from vivid_tpu.diffusion.loss import down_up_resize
+                        cond = down_up_resize(encoder.encode_latents(tgt_raw), 4)
+                    latents = sample_fn(params,
+                                        gnet.params if gnet is not None else params,
+                                        src, geometry, noise,
+                                        jnp.asarray(guidance, jnp.float32), rng,
+                                        conditioning_image=cond,
+                                        use_gnet=(gnet is not None and guidance != 1))
+                    r.images = np.asarray(encoder.decode(latents))
+                    r.src = src_raw[:, 0] if src_raw.ndim == 5 else src_raw
+                    r.tgt = tgt_raw
+
+                    if sr_model is not None:
+                        sr_src_raw = raw["sr_src_image"][:n]
+                        sr_tgt_raw = raw["sr_tgt_image"][:n]
+                        sr_geometry = jnp.asarray(raw["sr_geometry"][:n])
+                        sr_res = sr_model.cfg.img_resolution
+                        sr_src = encoder.encode_latents(sr_src_raw)
+                        sr_noise = seeded_normal(
+                            r.seeds, (sr_res, sr_res, sr_model.cfg.img_channels))
+                        low_res = jax.image.resize(
+                            latents, latents.shape[:1] + (sr_res, sr_res,
+                                                          latents.shape[-1]),
+                            method="bilinear")
+                        sr_latents = sr_sample_fn(
+                            sr_model.params, sr_model.params, sr_src,
+                            sr_geometry, sr_noise,
+                            jnp.asarray(1.0, jnp.float32), rng,
+                            conditioning_image=low_res, use_gnet=False)
+                        r.images = np.asarray(encoder.decode(sr_latents))
+                        r.src = sr_src_raw[:, 0] if sr_src_raw.ndim == 5 else sr_src_raw
+                        r.tgt = sr_tgt_raw
+
+                    if outdir is not None:
+                        for seed, _src, _tgt, image in zip(
+                                r.seeds,
+                                np.clip(r.src, 0, 255).astype(np.uint8),
+                                np.clip(r.tgt, 0, 255).astype(np.uint8),
+                                r.images):
+                            image_dir = (os.path.join(outdir, f"{seed // 1000 * 1000:06d}")
+                                         if subdirs else outdir)
+                            os.makedirs(image_dir, exist_ok=True)
+                            PIL.Image.fromarray(_src, "RGB").save(
+                                os.path.join(image_dir, f"src_{seed:06d}.png"))
+                            PIL.Image.fromarray(_tgt, "RGB").save(
+                                os.path.join(image_dir, f"tgt_{seed:06d}.png"))
+                            PIL.Image.fromarray(image, "RGB").save(
+                                os.path.join(image_dir, f"sample_{seed:06d}.png"))
+                dist.barrier("gen-batch")
+                yield r
+            loader.close()
+
+    return ImageIterable()

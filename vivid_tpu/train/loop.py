@@ -1,0 +1,349 @@
+"""Training orchestration loop.
+
+Parity surface: training/training_loop.py:168-594 — resume-from-latest,
+status ticks with stats.jsonl, periodic sample grids through the real
+sampler, periodic small-N metric evals, per-EMA-std snapshot pickles,
+training-state checkpoints, slice/suspend contract — re-built around a
+single jitted train step on a device mesh.
+
+Differences by design (TPU-first):
+  * one process per host; devices inside a host are mesh columns, so
+    "batch_gpu"/accumulation math happens on the mesh, not via DDP ranks;
+  * the per-step (seed, rank, nimg) reseed becomes fold_in(seed_key, nimg);
+  * startup FLOPs analysis uses XLA cost analysis instead of a profiler hook.
+"""
+
+import dataclasses
+import json
+import os
+import time
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vivid_tpu.core import dist, stats as stats_mod
+from vivid_tpu.core.checkpoint import CheckpointIO, latest_checkpoint
+from vivid_tpu.core.easydict import EasyDict
+from vivid_tpu.core.logger import format_time
+from vivid_tpu.core.rngs import base_key, step_key
+from vivid_tpu.core.sharding import make_mesh, replicate, shard_batch
+from vivid_tpu.data.collate import BatchLoader, DualSourceCollate, VanillaCollate
+from vivid_tpu.data.encoders import StandardRGBEncoder
+from vivid_tpu.data.scenes import SceneDataset
+from vivid_tpu.diffusion.loss import NVLoss, SRNVLoss
+from vivid_tpu.diffusion.phema import std_to_exp
+from vivid_tpu.diffusion.sampler import edm_sampler, make_denoiser
+from vivid_tpu.nn.precond import PrecondConfig, precond_init
+from vivid_tpu.train.snapshots import save_snapshot
+from vivid_tpu.train.step import (TrainConfig, TrainState, init_train_state,
+                                  make_train_step)
+
+
+def _state_to_dict(state: TrainState) -> dict:
+    return dict(params=state.params, adam_m=state.adam_m, adam_v=state.adam_v,
+                adam_step=state.adam_step, emas=list(state.emas),
+                cur_nimg=state.cur_nimg)
+
+
+def _state_from_dict(d: dict) -> TrainState:
+    return TrainState(params=d["params"], adam_m=d["adam_m"], adam_v=d["adam_v"],
+                      adam_step=jnp.asarray(d["adam_step"]),
+                      emas=tuple(d["emas"]),
+                      cur_nimg=jnp.asarray(d["cur_nimg"]))
+
+
+def analyze_flops(step_fn, state, batch, rng):
+    """Startup FLOPs report via XLA cost analysis (the DeepSpeed profiler
+    analogue, training_loop.py:109-166). `step_fn` must be the already-jitted
+    step so the compiled executable is cached and reused by training."""
+    try:
+        lowered = step_fn.lower(state, batch, rng)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        gflops = float(cost.get("flops", 0.0)) / 1e9
+        dist.print0(f"Train-step compute: {gflops:.2f} GFLOPs "
+                    f"(XLA cost analysis, fused step incl. backward+Adam+EMA)")
+        return gflops
+    except Exception as err:  # cost analysis is best-effort
+        dist.print0(f"FLOPs analysis unavailable: {err}")
+        return None
+
+
+def training_loop(
+    run_dir: str,
+    dataset_kwargs: Optional[dict] = None,
+    test_dataset_path: Optional[str] = None,
+    encoder_kwargs: Optional[dict] = None,
+    network_kwargs: Optional[dict] = None,
+    loss_kwargs: Optional[dict] = None,
+    lr_kwargs: Optional[dict] = None,
+    ema_stds=(0.050, 0.100),
+    seed: int = 0,
+    batch_size: int = 64,
+    batch_gpu: Optional[int] = None,
+    total_nimg: int = 192_000_000,
+    slice_nimg: Optional[int] = None,
+    status_nimg: Optional[int] = 960,
+    samples_nimg: Optional[int] = 9600,
+    metrics_nimg: Optional[int] = None,
+    snapshot_nimg: Optional[int] = 10000,
+    checkpoint_nimg: Optional[int] = 10000,
+    loss_scaling: float = 1.0,
+    force_finite: bool = True,
+    eval_samples: int = 8,
+    sr_training: bool = False,
+    vanilla_mode: bool = False,
+    plain_mse: bool = False,
+    single_image_mix: Optional[float] = None,
+    sr_model=None,
+    depth_model=None,
+    metrics_fn=None,
+    max_steps: Optional[int] = None,
+    debug: Optional[bool] = None,
+):
+    """Train an NVS diffusion model. Interval arguments are in nimg like the
+    reference; `max_steps` additionally bounds the number of optimizer steps
+    (tests / smoke runs)."""
+    start_time = time.time()
+    dist.init()
+    mesh = make_mesh()
+    os.makedirs(run_dir, exist_ok=True)
+    os.makedirs(os.path.join(run_dir, "results"), exist_ok=True)
+
+    num_sources = 1 if vanilla_mode else 2
+
+    # Model (its resolution drives the data pipeline size).
+    net_kwargs = dict(network_kwargs or {})
+    net_kwargs.setdefault("img_resolution", 256 if sr_training else 64)
+    net_kwargs.setdefault("num_sources", num_sources)
+    net_kwargs.setdefault("source_label_dim", 20)
+    net_kwargs.setdefault("target_label_dim", 20 * num_sources)
+    net_kwargs.setdefault("super_res", sr_training)
+    model_cfg = PrecondConfig(**net_kwargs)
+    target_resolution = model_cfg.img_resolution
+    dist.print0(f"Constructing network (resolution {target_resolution})...")
+
+    # Data.
+    dataset_kwargs = dict(dataset_kwargs or {})
+    dist.print0(f"Setting up {target_resolution}x{target_resolution} training data...")
+    dataset = SceneDataset(dataset_kwargs["path"], seed=seed,
+                           process_index=dist.get_rank(),
+                           process_count=dist.get_world_size())
+    collate_cls = VanillaCollate if vanilla_mode else DualSourceCollate
+    collate = collate_cls(imsize=target_resolution, seed=seed)
+    per_process_batch = batch_size // dist.get_world_size()
+    loader = BatchLoader(iter(dataset), collate, batch_size=per_process_batch)
+
+    test_loader = None
+    if test_dataset_path and eval_samples and dist.get_rank() == 0:
+        test_dataset = SceneDataset(test_dataset_path, seed=seed + 1)
+        test_loader = BatchLoader(iter(test_dataset),
+                                  collate_cls(imsize=target_resolution, seed=seed + 1),
+                                  batch_size=eval_samples, prefetch=1, num_threads=1)
+    params = precond_init(base_key(seed), model_cfg)
+    n_params = sum(int(x.size) for x in jax.tree.leaves(params))
+    dist.print0(f"Parameters: {n_params / 1e6:.2f} M")
+
+    encoder = StandardRGBEncoder()
+    loss_cls = SRNVLoss if sr_training else NVLoss
+    loss_fn = loss_cls(plain_mse=plain_mse, **dict(loss_kwargs or {}))
+
+    lr_args = dict(lr_kwargs or {})
+    train_cfg = TrainConfig(
+        batch_size=batch_size,
+        loss_scaling=loss_scaling,
+        force_finite=force_finite,
+        ref_lr=lr_args.get("ref_lr", 100e-4),
+        ref_batches=lr_args.get("ref_batches", 70e3),
+        rampup_Mimg=lr_args.get("rampup_Mimg", 10.0),
+        ema_stds=tuple(ema_stds),
+        nimg_mult=(collate.nimg_mult if not vanilla_mode else 1),
+        loss_clamp_3sigma=not plain_mse,
+        force_wn=bool(net_kwargs.get("force_wn", False)),
+    )
+    ema_exponents = tuple(float(std_to_exp(std) + 1) for std in train_cfg.ema_stds)
+    state = init_train_state(params, train_cfg)
+    del params
+
+    # Resume.
+    state_holder = {"state": _state_to_dict(state)}
+    ckpt = CheckpointIO(state=state_holder["state"])
+    resumed = latest_checkpoint(run_dir)
+    if resumed is not None:
+        dist.print0(f"Resuming from {resumed} ...")
+        with open(resumed, "rb") as f:
+            import pickle
+            data = pickle.load(f)
+        state = _state_from_dict(jax.tree.map(jnp.asarray, data["state"]))
+
+    state = replicate(mesh, state)
+    stop_at_nimg = total_nimg
+    if slice_nimg is not None:
+        granularity = checkpoint_nimg or snapshot_nimg or batch_size
+        stop_at_nimg = min(stop_at_nimg,
+                           (int(state.cur_nimg) + slice_nimg) // granularity * granularity)
+    assert stop_at_nimg > int(state.cur_nimg), "nothing to train"
+    nimg_per_step = batch_size * train_cfg.nimg_mult
+    dist.print0(f"Training from {int(state.cur_nimg) // 1000} kimg to "
+                f"{stop_at_nimg // 1000} kimg "
+                f"({(stop_at_nimg - int(state.cur_nimg)) // nimg_per_step} steps):")
+
+    step_fn = jax.jit(make_train_step(loss_fn, model_cfg, train_cfg, ema_exponents),
+                      donate_argnums=0)
+    seed_key = base_key(seed)
+
+    def device_batch(raw):
+        batch = {
+            "src": encoder.encode_latents(raw["src_image"]),
+            "tgt": encoder.encode_latents(raw["tgt_image"]),
+            "geometry": jnp.asarray(raw["geometry"]),
+        }
+        return shard_batch(mesh, batch)
+
+    # Startup FLOPs report (compiles the step once; cache reused by training).
+    first_batch = device_batch(next(loader))
+    analyze_flops(step_fn, state, first_batch,
+                  step_key(seed_key, int(state.cur_nimg)))
+
+    stats_jsonl = None
+    pending_stats = []  # device-side stat dicts; pulled only at status ticks
+    prev_status_time = time.time()
+    prev_status_nimg = int(state.cur_nimg)
+    cumulative_training_time = 0.0
+    start_nimg = int(state.cur_nimg)
+    steps_done = 0
+    pending_batch = first_batch
+
+    def save_training_state(cur_nimg):
+        fname = os.path.join(run_dir, f"training-state-{cur_nimg // 1000:07d}.pt")
+        holder = CheckpointIO(state=_state_to_dict(state))
+        holder.save(fname)
+        dist.print0(f"Saved {fname}")
+
+    def save_snapshots(cur_nimg):
+        if dist.get_rank() != 0:
+            return
+        for std, ema in zip(train_cfg.ema_stds, state.emas):
+            fname = os.path.join(
+                run_dir, f"network-snapshot-{cur_nimg // 1000:07d}-{std:.3f}.pkl")
+            save_snapshot(fname, ema, model_cfg,
+                          dataset_kwargs=dataset_kwargs,
+                          loss_kwargs=dict(loss_kwargs or {}))
+            dist.print0(f"Saved {fname}")
+
+    def generate_sample_grid(cur_nimg):
+        if test_loader is None or dist.get_rank() != 0:
+            return
+        raw = next(test_loader)
+        src = encoder.encode_latents(raw["src_image"])
+        geometry = jnp.asarray(raw["geometry"])
+        ema_params = state.emas[0]
+        rng = step_key(seed_key, cur_nimg + 1)
+        noise = jax.random.normal(rng, raw["tgt_image"].shape[:1]
+                                  + raw["tgt_image"].shape[1:])
+        kwargs = {}
+        if model_cfg.super_res:
+            from vivid_tpu.diffusion.loss import down_up_resize
+            kwargs["conditioning_image"] = down_up_resize(
+                encoder.encode_latents(raw["tgt_image"]), 4)
+        denoise = make_denoiser(ema_params, model_cfg, src=src, geometry=geometry,
+                                rng=rng, **kwargs)
+        latents = jax.jit(lambda n: edm_sampler(denoise, n, num_steps=32))(noise)
+        images = np.asarray(encoder.decode(latents))
+        src_img = np.clip(raw["src_image"][:, 0], 0, 255).astype(np.uint8)
+        tgt_img = np.clip(raw["tgt_image"], 0, 255).astype(np.uint8)
+        grid = np.concatenate([np.concatenate(list(row), axis=1)
+                               for row in (src_img, images, tgt_img)], axis=0)
+        import PIL.Image
+        out = os.path.join(run_dir, "results",
+                           f"generated-samples-{cur_nimg // 1000:07d}.png")
+        PIL.Image.fromarray(grid, "RGB").save(out)
+        dist.print0(f"Saved {out}")
+
+    def interval_hit(interval, cur, prev):
+        """True when an interval boundary was crossed since the previous step."""
+        if interval is None:
+            return False
+        return cur // interval != prev // interval or cur == start_nimg == 0
+
+    try:
+        while True:
+            cur_nimg = int(state.cur_nimg)
+            done = cur_nimg >= stop_at_nimg or (max_steps is not None
+                                                and steps_done >= max_steps)
+            prev_nimg = cur_nimg - nimg_per_step
+
+            if interval_hit(status_nimg, cur_nimg, prev_nimg) or done:
+                for s in pending_stats:  # one host sync per tick, not per step
+                    stats_mod.report_dict(s)
+                pending_stats = []
+                cur_time = time.time()
+                tick_time = cur_time - prev_status_time
+                stats_mod.report0("Progress/kimg", cur_nimg / 1e3)
+                stats_mod.report0("Progress/iter", cur_nimg / max(nimg_per_step, 1))
+                stats_mod.report0("Timing/total_sec", cur_time - start_time)
+                stats_mod.report0("Timing/sec_per_tick", tick_time)
+                stats_mod.report0("Timing/sec_per_kimg",
+                                  cumulative_training_time
+                                  / max(cur_nimg - prev_status_nimg, 1) * 1e3)
+                stats_mod.report0("Timing/maintenance_sec",
+                                  tick_time - cumulative_training_time)
+                stats_mod.default_collector.update()
+                snap = stats_mod.default_collector.as_dict()
+                loss_val = snap.get("Loss/loss", EasyDict(mean=float("nan"))).mean
+                dist.print0(
+                    f"Status: kimg {cur_nimg / 1e3:<9.1f} loss {loss_val:<8.4f} "
+                    f"time {format_time(cur_time - start_time):<12s} "
+                    f"sec/tick {tick_time:<8.2f}")
+                if dist.get_rank() == 0 and not debug:
+                    if stats_jsonl is None:
+                        stats_jsonl = open(os.path.join(run_dir, "stats.jsonl"), "at")
+                    items = {name: v.mean for name, v in snap.items()}
+                    items["timestamp"] = time.time()
+                    stats_jsonl.write(json.dumps(items) + "\n")
+                    stats_jsonl.flush()
+                cumulative_training_time = 0.0
+                prev_status_nimg = cur_nimg
+                prev_status_time = cur_time
+                dist.update_progress(cur_nimg // 1000, stop_at_nimg // 1000)
+                if cur_nimg >= stop_at_nimg and cur_nimg < total_nimg:
+                    dist.request_suspend()
+                if dist.should_stop() or dist.should_suspend():
+                    done = True
+
+            if interval_hit(samples_nimg, cur_nimg, prev_nimg) and cur_nimg != start_nimg:
+                generate_sample_grid(cur_nimg)
+            if metrics_fn is not None and interval_hit(metrics_nimg, cur_nimg, prev_nimg) \
+                    and cur_nimg != start_nimg:
+                results = metrics_fn(state.emas[0], model_cfg)
+                dist.print0(f"Metrics: {results}")
+            if interval_hit(snapshot_nimg, cur_nimg, prev_nimg) and cur_nimg != start_nimg:
+                save_snapshots(cur_nimg)
+            if (interval_hit(checkpoint_nimg, cur_nimg, prev_nimg)
+                    and cur_nimg != start_nimg):
+                save_training_state(cur_nimg)
+
+            if done:
+                break
+
+            batch_start = time.time()
+            if pending_batch is None:
+                pending_batch = device_batch(next(loader))
+            rng = step_key(seed_key, cur_nimg)
+            state, step_stats = step_fn(state, pending_batch, rng)
+            pending_batch = None
+            pending_stats.append(step_stats)
+            steps_done += 1
+            cumulative_training_time += time.time() - batch_start
+    finally:
+        loader.close()
+        if test_loader is not None:
+            test_loader.close()
+        if stats_jsonl is not None:
+            stats_jsonl.close()
+
+    dist.print0("Training done.")
+    return state
