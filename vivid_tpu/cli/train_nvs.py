@@ -87,6 +87,7 @@ def setup_training_config(preset="vivid-base", **opts):
     c.sr_model = opts.get("sr_model") or None
     c.depth_model = opts.get("depth_model") or None
     c.single_image_mix = opts.get("single_image_mix") or None
+    c.single_image_mix_path = opts.get("single_image_path") or None
     c.slice_nimg = opts.get("slice") or None
     return c
 
@@ -140,6 +141,7 @@ def launch_training(run_dir, c):
 @click.option("--depth-input", help="Adds depth in input", is_flag=True)
 @click.option("--warp-depth-coor", help="Add coordinates and warped coordinates as input", is_flag=True)
 @click.option("--single-image-mix", help="Use single image augmentations, percent of batch", type=float, default=None)
+@click.option("--single-image-path", help="Directory of single images for the mix", metavar="DIR", type=str, default=None)
 @click.option("--uncond", help="Regular (unconditional) diffusion", is_flag=True)
 @click.option("--noisy-sr", help="Adds noise to low-res image", type=float, default=None)
 @click.option("--sr-model", help="Path to SR model to use for evaluation", metavar="STR", type=str, required=False)

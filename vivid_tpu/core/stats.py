@@ -74,12 +74,12 @@ class Collector:
 
     def update(self):
         pending = self.stats._pending
-        names = sorted(n for n in pending if self.regex.fullmatch(n) and pending[n].num >= 0)
+        names = sorted(n for n in pending if self.regex.fullmatch(n))
         if not names:
             return
         mat = np.stack([pending[n].row() for n in names])
         for n in names:
-            pending[n] = _Moments()
+            del pending[n]  # report() recreates on demand
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
             mat = np.asarray(multihost_utils.process_allgather(mat)).sum(axis=0)

@@ -1,0 +1,77 @@
+"""TPU attention kernels.
+
+The model's attention (reference models.py:187-198 / 279-305) runs on
+pixel-normalized q/k/v with SDPA scaling at S in {64, 256, 1024} and
+cross-KV length up to 3S — low arithmetic intensity (D=64 contraction), so
+the win is avoiding the [B,H,S,Sk] fp32 logit round-trip through HBM.
+
+`fused_attention` dispatches:
+  * TPU + large-enough S -> Pallas flash attention (blockwise online softmax,
+    fp32 accumulation), with optional additive logit bias (epipolar path).
+  * otherwise -> einsum + softmax (XLA fuses fine at tiny sizes; also the
+    CPU/test path).
+
+Layouts: q [B, Sq, H, D]; k/v [B, Sk, H, D]; bias [B, H, Sq, Sk] or None.
+Returns [B, Sq, H, D] in v.dtype. Numerics match the einsum path to bf16
+tolerance (fp32 softmax in both).
+"""
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def reference_attention(q, k, v, bias=None):
+    d = q.shape[-1]
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) / jnp.sqrt(
+                            jnp.asarray(d, jnp.float32))
+    if bias is not None:
+        logits = logits + bias.astype(logits.dtype)
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
+
+
+@functools.lru_cache(maxsize=1)
+def _flash():
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes, flash_attention)
+    return flash_attention, BlockSizes
+
+
+def _use_pallas(q, k) -> bool:
+    if jax.devices()[0].platform != "tpu":
+        return False
+    sq, sk = q.shape[1], k.shape[1]
+    # Pallas pays off once the logit matrix stops being tiny; block machinery
+    # needs at least 128 rows/columns.
+    return sq >= 256 and sk >= 256
+
+
+def fused_attention(q, k, v, bias: Optional[jax.Array] = None):
+    if not _use_pallas(q, k):
+        return reference_attention(q, k, v, bias)
+    flash_attention, BlockSizes = _flash()
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    scale = 1.0 / (d ** 0.5)
+    qT = jnp.swapaxes(q, 1, 2)  # [B, H, S, D]
+    kT = jnp.swapaxes(k, 1, 2)
+    vT = jnp.swapaxes(v, 1, 2)
+    block_q = min(512, sq)
+    block_k = min(1024, sk)
+    sizes = BlockSizes(
+        block_q=block_q, block_k_major=block_k, block_k=block_k,
+        block_b=1,
+        block_q_major_dkv=block_q, block_k_major_dkv=block_k,
+        block_q_dkv=block_q, block_k_dkv=block_k,
+        block_q_dq=block_q, block_k_dq=block_k,
+        block_k_major_dq=block_k,
+    )
+    # The flash kernel computes (q k^T + ab) * sm_scale; our contract is
+    # q k^T * scale + bias, so pre-divide the bias by the scale.
+    ab = (bias.astype(jnp.float32) / scale) if bias is not None else None
+    out = flash_attention(qT, kT, vT, ab=ab, sm_scale=scale, block_sizes=sizes)
+    return jnp.swapaxes(out, 1, 2).astype(v.dtype)

@@ -87,15 +87,10 @@ def _split_qkv(qkv, num_heads, parts):
 
 
 def attention(q, k, v, bias=None):
-    """q: [B, Sq, H, D], k/v: [B, Sk, H, D] -> [B, Sq, H, D]. fp32 softmax."""
-    d = q.shape[-1]
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                        preferred_element_type=jnp.float32) / jnp.sqrt(
-                            jnp.asarray(d, jnp.float32))
-    if bias is not None:
-        logits = logits + bias.astype(logits.dtype)
-    probs = jax.nn.softmax(logits, axis=-1)
-    return jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
+    """q: [B, Sq, H, D], k/v: [B, Sk, H, D] -> [B, Sq, H, D]. fp32 softmax;
+    dispatches to the Pallas flash kernel on TPU (kernels/attention.py)."""
+    from vivid_tpu.kernels.attention import fused_attention
+    return fused_attention(q, k, v, bias)
 
 
 def block_apply(params: dict, cfg: BlockConfig, x, emb,

@@ -98,9 +98,11 @@ def training_loop(
     vanilla_mode: bool = False,
     plain_mse: bool = False,
     single_image_mix: Optional[float] = None,
+    single_image_mix_path: Optional[str] = None,
     sr_model=None,
     depth_model=None,
     metrics_fn=None,
+    metrics_list=None,
     max_steps: Optional[int] = None,
     debug: Optional[bool] = None,
 ):
@@ -109,7 +111,16 @@ def training_loop(
     (tests / smoke runs)."""
     start_time = time.time()
     dist.init()
-    mesh = make_mesh()
+    # Data axis = largest divisor of the global batch that fits the device
+    # count (the reference asserts strict divisibility, training_loop.py:217;
+    # we degrade to fewer devices for small smoke batches).
+    n_data = jax.device_count()
+    while batch_size % n_data != 0:
+        n_data -= 1
+    if n_data != jax.device_count():
+        dist.print0(f"Note: batch {batch_size} not divisible by "
+                    f"{jax.device_count()} devices; using {n_data}.")
+    mesh = make_mesh(n_data=n_data)
     os.makedirs(run_dir, exist_ok=True)
     os.makedirs(os.path.join(run_dir, "results"), exist_ok=True)
 
@@ -135,7 +146,23 @@ def training_loop(
     collate_cls = VanillaCollate if vanilla_mode else DualSourceCollate
     collate = collate_cls(imsize=target_resolution, seed=seed)
     per_process_batch = batch_size // dist.get_world_size()
-    loader = BatchLoader(iter(dataset), collate, batch_size=per_process_batch)
+
+    # Single-image co-training: a fixed fraction of each batch is synthesized
+    # from single images via homography rotations (training_loop.py:230-234).
+    single_loader = None
+    main_batch = per_process_batch
+    if single_image_mix:
+        n_single = min(per_process_batch - 1,
+                       max(1, int(per_process_batch * single_image_mix)))
+        from vivid_tpu.data.single_images import SingleImages
+        single_ds = SingleImages(single_image_mix_path or dataset_kwargs["path"],
+                                 imsize=target_resolution,
+                                 num_sources=num_sources, seed=seed + 2)
+        single_loader = BatchLoader(iter(single_ds), single_ds,
+                                    batch_size=n_single, prefetch=1,
+                                    num_threads=1)
+        main_batch = per_process_batch - n_single
+    loader = BatchLoader(iter(dataset), collate, batch_size=main_batch)
 
     test_loader = None
     if test_dataset_path and eval_samples and dist.get_rank() == 0:
@@ -195,7 +222,35 @@ def training_loop(
                       donate_argnums=0)
     seed_key = base_key(seed)
 
+    # Optional wandb mirroring of the stats stream (reference
+    # training_loop.py:370-378); silently disabled when not installed.
+    wandb_run = None
+    if dist.get_rank() == 0 and not debug and os.environ.get("WANDB_PROJECT"):
+        try:
+            import wandb
+            wandb_run = wandb.init(project=os.environ["WANDB_PROJECT"],
+                                   dir=run_dir, config=dict(
+                                       batch_size=batch_size, seed=seed,
+                                       network=net_kwargs))
+        except ImportError:
+            dist.print0("wandb not installed; skipping wandb logging")
+
+    # Default in-training metric eval (calculate_metrics.get_metrics analogue,
+    # training_loop.py:473-483) over the test dataset.
+    if metrics_fn is None and metrics_nimg is not None and test_dataset_path:
+        def metrics_fn(ema_params, cfg_):
+            from vivid_tpu.core.easydict import EasyDict as ED
+            from vivid_tpu.metrics.api import get_metrics
+            net_obj = ED(params=ema_params, cfg=cfg_)
+            return get_metrics(net_obj, encoder=encoder, num_images=100,
+                               metrics=metrics_list,
+                               datakwargs={"path": test_dataset_path},
+                               max_batch_size=25)
+
     def device_batch(raw):
+        if single_loader is not None:
+            extra = next(single_loader)
+            raw = {k: np.concatenate([raw[k], extra[k]], axis=0) for k in raw}
         batch = {
             "src": encoder.encode_latents(raw["src_image"]),
             "tgt": encoder.encode_latents(raw["tgt_image"]),
@@ -221,6 +276,11 @@ def training_loop(
         fname = os.path.join(run_dir, f"training-state-{cur_nimg // 1000:07d}.pt")
         holder = CheckpointIO(state=_state_to_dict(state))
         holder.save(fname)
+        # Divergence detector after every checkpoint save, like the
+        # reference's check_ddp_consistency (training_loop.py:501).
+        if dist.get_world_size() > 1:
+            from vivid_tpu.core.consistency import check_param_consistency
+            check_param_consistency(state.params, "net params")
         dist.print0(f"Saved {fname}")
 
     def save_snapshots(cur_nimg):
@@ -305,6 +365,9 @@ def training_loop(
                     items["timestamp"] = time.time()
                     stats_jsonl.write(json.dumps(items) + "\n")
                     stats_jsonl.flush()
+                    if wandb_run is not None:
+                        wandb_run.log({k.replace("/", "_"): v
+                                       for k, v in items.items()}, step=cur_nimg)
                 cumulative_training_time = 0.0
                 prev_status_nimg = cur_nimg
                 prev_status_time = cur_time
@@ -340,10 +403,14 @@ def training_loop(
             cumulative_training_time += time.time() - batch_start
     finally:
         loader.close()
+        if single_loader is not None:
+            single_loader.close()
         if test_loader is not None:
             test_loader.close()
         if stats_jsonl is not None:
             stats_jsonl.close()
+        if wandb_run is not None:
+            wandb_run.finish()
 
     dist.print0("Training done.")
     return state
