@@ -13,11 +13,16 @@ Prints ONE JSON line:
 """
 
 import json
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_comp_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 A40_BASELINE_TFLOPS = 1.70  # visualize.json: 733.53 GMACs in 863.91 ms
 
@@ -66,6 +71,39 @@ def main():
     dt = max((t2 - t1) / (n2 - n1), 1e-9)
 
     tflops = flops / dt / 1e12
+
+    # Secondary: end-to-end guided sampling throughput (the serve path —
+    # 32 Heun steps x (net + uncond gnet) = 126 model evals per batch).
+    sampler_img_s = None
+    if on_tpu:
+        from vivid_tpu.diffusion.sampler import edm_sampler, make_denoiser
+        gcfg = PrecondConfig(img_resolution=64, num_sources=2, model_channels=64,
+                             extra_attn=1, use_bf16=True, remat=False, uncond=True)
+        gparams = precond_init(jax.random.PRNGKey(2), gcfg)
+
+        @jax.jit
+        def sample(p, gp, s, g, n):
+            den = make_denoiser(p, cfg, src=s, geometry=g)
+            gden = make_denoiser(gp, gcfg)
+            return edm_sampler(den, n, gnet_denoise=gden, guidance=1.5,
+                               num_steps=32)
+
+        noise = jax.random.normal(jax.random.fold_in(key, 4),
+                                  (batch, 64, 64, 3))
+
+        def sample_chain(iters):
+            t0 = time.perf_counter()
+            o = noise
+            for _ in range(iters):
+                o = sample(params, gparams, src, geometry, o)
+            _ = np.asarray(o[0, 0, 0, 0])
+            return time.perf_counter() - t0
+
+        sample_chain(1)  # compile (persistent cache makes reruns fast)
+        s1 = min(sample_chain(1) for _ in range(2))
+        s2 = min(sample_chain(3) for _ in range(2))
+        sampler_img_s = batch / max((s2 - s1) / 2, 1e-9)
+
     print(json.dumps({
         "metric": "precond_fwd_tflops",
         "value": round(tflops, 3),
@@ -76,6 +114,8 @@ def main():
             "latency_ms": round(dt * 1e3, 2),
             "gflops_per_fwd": round(flops / 1e9, 1),
             "platform": jax.devices()[0].platform,
+            "guided_sampler_img_per_s": (round(sampler_img_s, 2)
+                                         if sampler_img_s else None),
         },
     }))
 

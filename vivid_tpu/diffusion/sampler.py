@@ -46,7 +46,7 @@ def edm_sampler(denoise: Callable, noise: jax.Array,
     Fully traceable: wrap in jit at the call site (the CLI does). Guidance may
     be a traced scalar; use gnet_denoise=None for no guidance.
     """
-    t_steps = jnp.asarray(sigma_schedule(num_steps, sigma_min, sigma_max, rho))
+    t_steps = sigma_schedule(num_steps, sigma_min, sigma_max, rho)
     b = noise.shape[0]
 
     def guided(x, t):
@@ -59,42 +59,65 @@ def edm_sampler(denoise: Callable, noise: jax.Array,
     churn_gamma = min(S_churn / num_steps, math.sqrt(2.0) - 1.0) if S_churn > 0 else 0.0
     base_rng = rng if rng is not None else jax.random.PRNGKey(0)
 
-    def step(x_cur, scan_in):
-        i, t_cur, t_next = scan_in
+    # The 2N-1 denoiser evaluations are scanned as *half-steps* with exactly
+    # ONE guided-denoise call in the body (selects steer the Euler vs Heun
+    # phase). This keeps a single copy of the model(s) in the compiled
+    # program — the naive two-calls-per-step body made XLA compile ~6 model
+    # instances and blew up compile time. Numerics are identical.
+    phases, t_as, t_bs, idxs = [], [], [], []
+    for i in range(num_steps - 1):
+        for phase in (0, 1):
+            phases.append(phase)
+            t_as.append(t_steps[i])
+            t_bs.append(t_steps[i + 1])
+            idxs.append(i)
+    phases.append(0)                       # final Euler step to sigma = 0
+    t_as.append(t_steps[num_steps - 1])
+    t_bs.append(0.0)
+    idxs.append(num_steps - 1)
+    scan_in = (jnp.asarray(phases), jnp.asarray(t_as, jnp.float32),
+               jnp.asarray(t_bs, jnp.float32), jnp.asarray(idxs))
+
+    def half_step(state, inputs):
+        x, x_hat, d_cur, t_hat = state
+        phase, t_a, t_b, idx = inputs
+        is_euler = (phase == 0)
+
+        # Churn (applies at the start of each full step, phase 0 only).
         if churn_gamma > 0:
-            use_churn = (t_cur >= S_min) & (t_cur <= S_max)
+            use_churn = (t_a >= S_min) & (t_a <= S_max) & is_euler
             gamma = jnp.where(use_churn, churn_gamma, 0.0)
-            t_hat = t_cur + gamma * t_cur
-            eps = jax.random.normal(jax.random.fold_in(base_rng, i), x_cur.shape,
-                                    x_cur.dtype)
-            x_hat = x_cur + jnp.sqrt(jnp.maximum(t_hat ** 2 - t_cur ** 2, 0.0)) * S_noise * eps
+            t_hat_new = t_a + gamma * t_a
+            eps = jax.random.normal(
+                jax.random.fold_in(base_rng, idx.astype(jnp.uint32)),
+                x.shape, x.dtype)
+            x_hat_new = jnp.where(
+                is_euler,
+                x + jnp.sqrt(jnp.maximum(t_hat_new ** 2 - t_a ** 2, 0.0))
+                * S_noise * eps,
+                x)
         else:
-            t_hat, x_hat = t_cur, x_cur
+            t_hat_new = t_a
+            x_hat_new = x
 
-        d_cur = (x_hat - guided(x_hat, t_hat)) / t_hat
-        x_next = x_hat + (t_next - t_hat) * d_cur
-        # 2nd-order correction (valid because scanned steps have t_next > 0).
-        d_prime = (x_next - guided(x_next, t_next)) / t_next
-        x_next = x_hat + (t_next - t_hat) * (0.5 * d_cur + 0.5 * d_prime)
-        return x_next, None
+        x_in = jnp.where(is_euler, x_hat_new, x)
+        t_in = jnp.where(is_euler, t_hat_new, t_b)
+        d = (x_in - guided(x_in, t_in)) / t_in
 
-    x = noise.astype(jnp.float32) * t_steps[0]
-    if num_steps > 1:
-        scan_in = (jnp.arange(num_steps - 1), t_steps[:-2], t_steps[1:-1])
-        x, _ = jax.lax.scan(step, x, scan_in)
+        # Euler phase: provisional x at t_b; remember (x_hat, d_cur, t_hat).
+        x_euler = x_hat_new + (t_b - t_hat_new) * d
+        # Heun phase: combine with the stored Euler slope.
+        x_heun = x_hat + (t_b - t_hat) * (0.5 * d_cur + 0.5 * d)
 
-    # Final Euler step to sigma = 0 (no correction, reference i == N-1 branch).
-    t_cur, t_next = t_steps[-2], t_steps[-1]
-    if churn_gamma > 0:
-        use_churn = (t_cur >= S_min) & (t_cur <= S_max)
-        gamma = jnp.where(use_churn, churn_gamma, 0.0)
-        t_hat = t_cur + gamma * t_cur
-        eps = jax.random.normal(jax.random.fold_in(base_rng, num_steps - 1),
-                                x.shape, x.dtype)
-        x = x + jnp.sqrt(jnp.maximum(t_hat ** 2 - t_cur ** 2, 0.0)) * S_noise * eps
-    else:
-        t_hat = t_cur
-    x = x + (t_next - t_hat) * (x - guided(x, t_hat)) / t_hat
+        new_x = jnp.where(is_euler, x_euler, x_heun)
+        new_x_hat = jnp.where(is_euler, x_hat_new, x_hat)
+        new_d_cur = jnp.where(is_euler, d, d_cur)
+        new_t_hat = jnp.where(is_euler, t_hat_new, t_hat)
+        return (new_x, new_x_hat, new_d_cur, new_t_hat), None
+
+    x0 = noise.astype(jnp.float32) * float(t_steps[0])
+    init = (x0, x0, jnp.zeros_like(x0), jnp.asarray(t_steps[0], jnp.float32))
+    (x, _, _, _), _ = jax.lax.scan(half_step, init, scan_in)
     return x
 
 

@@ -42,6 +42,9 @@ def _flash():
 
 
 def _use_pallas(q, k) -> bool:
+    import os
+    if os.environ.get("VIVID_DISABLE_PALLAS"):
+        return False
     if jax.devices()[0].platform != "tpu":
         return False
     sq, sk = q.shape[1], k.shape[1]

@@ -12,7 +12,7 @@ import scipy.linalg
 
 def frechet_distance(mu1, sigma1, mu2, sigma2) -> float:
     m = np.square(mu1 - mu2).sum()
-    s, _ = scipy.linalg.sqrtm(np.dot(sigma1, sigma2), disp=False)
+    s = scipy.linalg.sqrtm(np.dot(sigma1, sigma2))
     return float(np.real(m + np.trace(sigma1 + sigma2 - s * 2)))
 
 

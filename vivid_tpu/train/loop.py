@@ -294,13 +294,22 @@ def training_loop(
                           loss_kwargs=dict(loss_kwargs or {}))
             dist.print0(f"Saved {fname}")
 
+    # One compiled eval sampler reused across ticks. Params MUST be jit
+    # arguments: closing over them would embed ~250MB of weights as HLO
+    # constants (and overflow the remote-compile transport).
+    @jax.jit
+    def _eval_sample(ema_params, src, geometry, noise, rng, conditioning_image=None):
+        denoise = make_denoiser(ema_params, model_cfg, src=src,
+                                geometry=geometry, rng=rng,
+                                conditioning_image=conditioning_image)
+        return edm_sampler(denoise, noise, num_steps=32)
+
     def generate_sample_grid(cur_nimg):
         if test_loader is None or dist.get_rank() != 0:
             return
         raw = next(test_loader)
         src = encoder.encode_latents(raw["src_image"])
         geometry = jnp.asarray(raw["geometry"])
-        ema_params = state.emas[0]
         rng = step_key(seed_key, cur_nimg + 1)
         noise = jax.random.normal(rng, raw["tgt_image"].shape[:1]
                                   + raw["tgt_image"].shape[1:])
@@ -309,9 +318,7 @@ def training_loop(
             from vivid_tpu.diffusion.loss import down_up_resize
             kwargs["conditioning_image"] = down_up_resize(
                 encoder.encode_latents(raw["tgt_image"]), 4)
-        denoise = make_denoiser(ema_params, model_cfg, src=src, geometry=geometry,
-                                rng=rng, **kwargs)
-        latents = jax.jit(lambda n: edm_sampler(denoise, n, num_steps=32))(noise)
+        latents = _eval_sample(state.emas[0], src, geometry, noise, rng, **kwargs)
         images = np.asarray(encoder.decode(latents))
         src_img = np.clip(raw["src_image"][:, 0], 0, 255).astype(np.uint8)
         tgt_img = np.clip(raw["tgt_image"], 0, 255).astype(np.uint8)
