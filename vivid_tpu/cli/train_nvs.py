@@ -58,8 +58,8 @@ def setup_training_config(preset="vivid-base", **opts):
     c.update(total_nimg=opts.duration, batch_size=opts.batch)
     c.network_kwargs = EasyDict(
         model_channels=opts.channels,
-        dropout=opts.dropout,
-        extra_attn=opts.extra_attn,
+        dropout=opts.get("dropout", 0.0),
+        extra_attn=opts.get("extra_attn"),
         epipolar_attention_bias=bool(opts.get("epipolar_attn_bias")),
         super_res=bool(opts.get("sr_training")),
         no_time_enc=bool(opts.get("no_time_enc")),

@@ -43,7 +43,9 @@ def get_epipolar_dist(geometry, imsize, patch_size, key=None):
     coords = jnp.arange(0, imsize, patch_size, dtype=geometry.dtype) + 0.5 * patch_size
     vv, uu = jnp.meshgrid(coords, coords, indexing="ij")
     grid_uvd = jnp.stack([uu, vv, jnp.ones_like(uu)], axis=-1)          # [h, w, 3]
-    xyz = jnp.broadcast_to(grid_uvd[None, None], (batch, 1) + grid_uvd.shape)
+    # [B, h, w, 3]; the K matrices below are [B, 1, 3, 3] so matmul batch
+    # dims broadcast as (B, h) x (B, 1) like the reference's torch layout.
+    xyz = jnp.broadcast_to(grid_uvd[None], (batch,) + grid_uvd.shape)
 
     inv_tgt_K = jnp.linalg.inv(tgt_K)
     xyz1 = jnp.concatenate(
