@@ -40,7 +40,7 @@ def test_mp_sum_matches_lerp_form():
     for t in [0.0, 0.3, 0.5, 1.0]:
         got = mp.mp_sum(a, b, t)
         want = (np.asarray(a) * (1 - t) + np.asarray(b) * t) / math.sqrt((1 - t) ** 2 + t ** 2)
-        np.testing.assert_allclose(got, want, rtol=1e-5)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
 def test_mp_sum_preserves_magnitude():

@@ -72,6 +72,7 @@ def setup_training_config(preset="vivid-base", **opts):
         target_label_dim=20 * num_sources,
         use_bf16=bool(opts.get("bf16", True)),
         force_wn=bool(opts.get("force_wn", False)),
+        remat=bool(opts.get("remat", True)),
     )
     c.loss_kwargs = EasyDict(P_mean=opts.P_mean, P_std=opts.P_std)
     c.lr_kwargs = EasyDict(ref_lr=opts.lr, ref_batches=opts.decay)
@@ -151,6 +152,7 @@ def launch_training(run_dir, c):
 # Performance-related options.
 @click.option("--bf16", help="Enable bfloat16 compute", metavar="BOOL", type=bool, default=True, show_default=True)
 @click.option("--force-wn", help="Forced weight normalization (EDM2 Eq. 66)", metavar="BOOL", type=bool, default=False, show_default=True)
+@click.option("--remat", help="Rematerialize heavy blocks in backward (memory vs speed)", metavar="BOOL", type=bool, default=True, show_default=True)
 @click.option("--ls", help="Loss scaling", metavar="FLOAT", type=click.FloatRange(min=0, min_open=True), default=1, show_default=True)
 # I/O-related options.
 @click.option("--status", help="Interval of status prints", metavar="NIMG", type=parse_nimg, default="960", show_default=True)
