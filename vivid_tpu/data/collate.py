@@ -34,12 +34,19 @@ from vivid_tpu.geometry.codec import compose_geometry_np
 
 
 def resize_image(img: np.ndarray, size: int) -> np.ndarray:
-    """[H, W, 3] any-range float/uint8 -> [size, size, 3] float32, [0,255]."""
+    """[H, W, 3] any-range float/uint8 -> [size, size, 3] float32, [0,255].
+    Integer downscales take a pure-numpy box-filter fast path (the loader is
+    host-bound on small-core machines); everything else goes through PIL
+    bilinear (the torchvision antialias analogue)."""
     arr = np.asarray(img)
     if arr.dtype != np.uint8:
         scale = 255.0 if arr.max() < 2.0 else 1.0
         arr = np.clip(arr * scale, 0, 255).astype(np.uint8)
-    if arr.shape[0] != size or arr.shape[1] != size:
+    h, w = arr.shape[:2]
+    if h == w and h != size and h % size == 0:
+        f = h // size
+        return arr.reshape(size, f, size, f, 3).mean(axis=(1, 3), dtype=np.float32)
+    if h != size or w != size:
         pil = PIL.Image.fromarray(arr, "RGB")
         arr = np.asarray(pil.resize((size, size), PIL.Image.Resampling.BILINEAR))
     return arr.astype(np.float32)
@@ -152,7 +159,11 @@ class BatchLoader:
     (numpy decode releases the GIL for the heavy parts)."""
 
     def __init__(self, scene_iter: Iterator, collate, batch_size: int,
-                 prefetch: int = 4, num_threads: int = 2):
+                 prefetch: int = 4, num_threads: int = None):
+        import os
+        if num_threads is None:
+            num_threads = int(os.environ.get("VIVID_LOADER_THREADS",
+                                             min(4, os.cpu_count() or 1) + 1))
         self.scene_iter = scene_iter
         self.collate = collate
         self.batch_size = batch_size
