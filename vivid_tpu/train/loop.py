@@ -164,11 +164,17 @@ def training_loop(
         main_batch = per_process_batch - n_single
     loader = BatchLoader(iter(dataset), collate, batch_size=main_batch)
 
+    if sr_model is not None and isinstance(sr_model, str):
+        from vivid_tpu.train.snapshots import load_snapshot
+        sr_model = load_snapshot(sr_model)
+    sr_eval_size = sr_model.cfg.img_resolution if sr_model is not None else None
+
     test_loader = None
     if test_dataset_path and eval_samples and dist.get_rank() == 0:
         test_dataset = SceneDataset(test_dataset_path, seed=seed + 1)
         test_loader = BatchLoader(iter(test_dataset),
-                                  collate_cls(imsize=target_resolution, seed=seed + 1),
+                                  collate_cls(imsize=target_resolution,
+                                              sr_size=sr_eval_size, seed=seed + 1),
                                   batch_size=eval_samples, prefetch=1, num_threads=1)
     params = precond_init(base_key(seed), model_cfg)
     n_params = sum(int(x.size) for x in jax.tree.leaves(params))
@@ -247,12 +253,27 @@ def training_loop(
                                datakwargs={"path": test_dataset_path},
                                max_batch_size=25)
 
+    from vivid_tpu.geometry.depth import add_depth, resolve_depth_model
+    depth_model = resolve_depth_model(depth_model)
+
+    def with_depth(src_latents, raw_src):
+        """Append predicted depth per source view (training_loop.py:531-532)."""
+        if depth_model is None:
+            return src_latents
+        b, s = src_latents.shape[:2]
+        flat = src_latents.reshape((b * s,) + src_latents.shape[2:])
+        flat_raw = jnp.asarray(raw_src).reshape((b * s,) + raw_src.shape[2:])
+        out = add_depth(depth_model, flat_raw, flat, inv_norm=model_cfg.depth_input)
+        return out.reshape((b, s) + out.shape[1:])
+
     def device_batch(raw):
         if single_loader is not None:
             extra = next(single_loader)
             raw = {k: np.concatenate([raw[k], extra[k]], axis=0) for k in raw}
+        src = encoder.encode_latents(raw["src_image"])
+        src = with_depth(src, raw["src_image"])
         batch = {
-            "src": encoder.encode_latents(raw["src_image"]),
+            "src": src,
             "tgt": encoder.encode_latents(raw["tgt_image"]),
             "geometry": jnp.asarray(raw["geometry"]),
         }
@@ -304,11 +325,23 @@ def training_loop(
                                 conditioning_image=conditioning_image)
         return edm_sampler(denoise, noise, num_steps=32)
 
+    sr_net = None
+    if sr_model is not None:
+        sr_net = sr_model
+
+        @jax.jit
+        def _sr_sample(sr_params, src, geometry, noise, rng, conditioning_image):
+            denoise = make_denoiser(sr_params, sr_net.cfg, src=src,
+                                    geometry=geometry, rng=rng,
+                                    conditioning_image=conditioning_image)
+            return edm_sampler(denoise, noise, num_steps=32)
+
     def generate_sample_grid(cur_nimg):
         if test_loader is None or dist.get_rank() != 0:
             return
         raw = next(test_loader)
         src = encoder.encode_latents(raw["src_image"])
+        src = with_depth(src, raw["src_image"])
         geometry = jnp.asarray(raw["geometry"])
         rng = step_key(seed_key, cur_nimg + 1)
         noise = jax.random.normal(rng, raw["tgt_image"].shape[:1]
@@ -319,6 +352,19 @@ def training_loop(
             kwargs["conditioning_image"] = down_up_resize(
                 encoder.encode_latents(raw["tgt_image"]), 4)
         latents = _eval_sample(state.emas[0], src, geometry, noise, rng, **kwargs)
+        if sr_net is not None and "sr_src_image" in raw:
+            sr_res = sr_net.cfg.img_resolution
+            sr_src = encoder.encode_latents(raw["sr_src_image"])
+            sr_geometry = jnp.asarray(raw["sr_geometry"])
+            low_res = jax.image.resize(
+                latents, latents.shape[:1] + (sr_res, sr_res, latents.shape[-1]),
+                method="bilinear")
+            sr_noise = jax.random.normal(jax.random.fold_in(rng, 1),
+                                         latents.shape[:1] + (sr_res, sr_res, 3))
+            latents = _sr_sample(sr_net.params, sr_src, sr_geometry, sr_noise,
+                                 rng, low_res)
+            raw = dict(raw, src_image=raw["sr_src_image"],
+                       tgt_image=raw["sr_tgt_image"])
         images = np.asarray(encoder.decode(latents))
         src_img = np.clip(raw["src_image"][:, 0], 0, 255).astype(np.uint8)
         tgt_img = np.clip(raw["tgt_image"], 0, 255).astype(np.uint8)
