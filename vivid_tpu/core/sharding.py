@@ -38,13 +38,28 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, tree):
+    """Place per-process batch arrays with the leading axis sharded on 'data'.
+    Single-process: a plain device_put. Multi-process: each process holds its
+    local slice of the global batch, assembled with
+    make_array_from_process_local_data (device_put would wrongly assume every
+    process sees the global array)."""
     sh = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        tree)
 
 
 def replicate(mesh: Mesh, tree):
     sh = replicated(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+    from jax.experimental import multihost_utils
+    return jax.tree.map(
+        lambda x: multihost_utils.host_local_array_to_global_array(
+            np.asarray(x), mesh, P()),
+        tree)
 
 
 @contextmanager

@@ -450,7 +450,9 @@ def training_loop(
                 pending_batch = device_batch(next(loader))
             rng = step_key(seed_key, cur_nimg)
             state, step_stats = step_fn(state, pending_batch, rng)
-            pending_batch = None
+            # Overlap: stage the next batch onto the device while the step
+            # executes (dispatch is async; the transfer rides alongside).
+            pending_batch = device_batch(next(loader))
             pending_stats.append(step_stats)
             steps_done += 1
             cumulative_training_time += time.time() - batch_start
