@@ -162,8 +162,16 @@ def launch_training(run_dir, c):
 @click.option("--checkpoint", help="Interval of training checkpoints", metavar="NIMG", type=parse_nimg, default="10000", show_default=True)
 @click.option("--slice", help="Train in slices of this many nimg", metavar="NIMG", type=parse_nimg, default=None)
 @click.option("--seed", help="Random seed", metavar="INT", type=int, default=0, show_default=True)
+@click.option("--debug-nans", help="Enable jax NaN debugging (slow)", is_flag=True)
 @click.option("--dry-run", help="Print training options and exit", is_flag=True)
-def cmdline(outdir, dry_run, **opts):
+def cmdline(outdir, dry_run, debug_nans, **opts):
+    if debug_nans:
+        import jax
+        jax.config.update("jax_debug_nans", True)
+    _cmdline_inner(outdir, dry_run, **opts)
+
+
+def _cmdline_inner(outdir, dry_run, **opts):
     """Train a VIVID NVS diffusion model on TPU.
 
     Examples:

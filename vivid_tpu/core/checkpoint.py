@@ -46,14 +46,30 @@ class CheckpointIO:
                 out[name] = _to_numpy(obj)
         return out
 
-    def save(self, path: str):
+    def save(self, path: str, async_: bool = False):
+        """Write the checkpoint (process 0). With async_=True the device->host
+        gather happens synchronously (consistent snapshot) but the pickle IO
+        runs in a background thread — the Orbax-async analogue for this
+        plain-pickle format."""
         data = self._gather()
         if dist.get_rank() == 0:
-            tmp = path + ".tmp"
-            with open(tmp, "wb") as f:
-                pickle.dump(data, f)
-            os.replace(tmp, path)
+            def _write():
+                tmp = path + ".tmp"
+                with open(tmp, "wb") as f:
+                    pickle.dump(data, f)
+                os.replace(tmp, path)
+            if async_:
+                import threading
+                self._last_writer = threading.Thread(target=_write, daemon=True)
+                self._last_writer.start()
+            else:
+                _write()
         dist.barrier("checkpoint-save")
+
+    def wait(self):
+        writer = getattr(self, "_last_writer", None)
+        if writer is not None:
+            writer.join()
 
     def load(self, path: str):
         with open(path, "rb") as f:

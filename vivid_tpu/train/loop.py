@@ -293,10 +293,15 @@ def training_loop(
     steps_done = 0
     pending_batch = first_batch
 
+    ckpt_holder = {"io": None}
+
     def save_training_state(cur_nimg):
         fname = os.path.join(run_dir, f"training-state-{cur_nimg // 1000:07d}.pt")
+        if ckpt_holder["io"] is not None:
+            ckpt_holder["io"].wait()  # one in-flight async write at a time
         holder = CheckpointIO(state=_state_to_dict(state))
-        holder.save(fname)
+        holder.save(fname, async_=True)
+        ckpt_holder["io"] = holder
         # Divergence detector after every checkpoint save, like the
         # reference's check_ddp_consistency (training_loop.py:501).
         if dist.get_world_size() > 1:
@@ -457,6 +462,8 @@ def training_loop(
             steps_done += 1
             cumulative_training_time += time.time() - batch_start
     finally:
+        if ckpt_holder["io"] is not None:
+            ckpt_holder["io"].wait()
         loader.close()
         if single_loader is not None:
             single_loader.close()
