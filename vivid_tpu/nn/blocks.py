@@ -93,6 +93,23 @@ def attention(q, k, v, bias=None):
     return fused_attention(q, k, v, bias)
 
 
+def attention_with_zero_sink(q, k, v, num_zero_cols: int):
+    """Attention over [k ‖ zeros(num_zero_cols)] / [v ‖ zeros] in closed form:
+    every zero column contributes logit 0 (zero keys) and value 0, i.e. a
+    constant probability sink of mass num_zero_cols * exp(-m). Exactly equals
+    materializing the zero KV columns (the unconditional model's cross
+    features, models.py:727-736) at a third of the attention FLOPs."""
+    d = q.shape[-1]
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) / jnp.sqrt(
+                            jnp.asarray(d, jnp.float32))
+    m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), 0.0)
+    e = jnp.exp(logits - m)
+    z = jnp.sum(e, axis=-1, keepdims=True) + num_zero_cols * jnp.exp(-m)
+    probs = e / z
+    return jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
+
+
 def block_apply(params: dict, cfg: BlockConfig, x, emb,
                 features: Optional[List[jax.Array]] = None,
                 src_geometries: Optional[List[jax.Array]] = None,
@@ -126,6 +143,17 @@ def block_apply(params: dict, cfg: BlockConfig, x, emb,
         q, k, v = _split_qkv(qkv, cfg.num_heads, 3)
 
         bias = None
+        if cfg.xattn and features == "zeros":
+            # Unconditional model: cross features are exact zeros; use the
+            # closed-form sink instead of materializing 2S zero KV columns.
+            y = attention_with_zero_sink(q, k, v,
+                                         cfg.num_cross_sources * h * w)
+            y = y.reshape(b, h, w, ch)
+            y = mp_conv_apply(params["attn_proj"], y)
+            x = mp_sum(x, y, t=cfg.attn_balance)
+            if cfg.clip_act is not None:
+                x = jnp.clip(x, -cfg.clip_act, cfg.clip_act)
+            return x
         if cfg.xattn:
             assert features is not None and len(features) == cfg.num_cross_sources
             ks, vs = [k], [v]

@@ -174,11 +174,14 @@ def precond_apply(params, cfg: PrecondConfig, src, dst, sigma, geometry=None,
                 k, conditioning_image.shape, conditioning_image.dtype)
         x_in = jnp.concatenate([x_in, conditioning_image.astype(dtype)], axis=-1)
 
-    # Cross-attention features.
+    # Cross-attention features. Unconditional models use the closed-form
+    # zero-feature sink (blocks.attention_with_zero_sink) — exactly equal to
+    # the reference's materialized zero features (models.py:727-736) at a
+    # third of the attention cost.
     if inject_features is not None:
         features = inject_features
     elif cfg.uncond:
-        features = zero_features(cfg, b, dtype)
+        features = "zeros"
     else:
         features = encode_sources(params, cfg, src.astype(dtype), c_noise,
                                   geometry, train=train, rng=rng)

@@ -228,7 +228,9 @@ def unet_apply(params, cfg: UNetConfig, x, noise_labels, geometry,
     """
     enc, dec = build_plan(cfg)
     emb = compute_emb(params, cfg, noise_labels, geometry)
-    feat_iter = iter(features) if features is not None else None
+    zeros_mode = isinstance(features, str) and features == "zeros"
+    feat_iter = (iter(features)
+                 if features is not None and not zeros_mode else None)
     collected = []
     dropout_keys = iter(jax.random.split(rng, len(enc) + len(dec))) if rng is not None else None
 
@@ -236,8 +238,11 @@ def unet_apply(params, cfg: UNetConfig, x, noise_labels, geometry,
         bcfg = entry.block
         feats = None
         if bcfg.xattn:
-            f = next(feat_iter)  # [B, n_src, h, w, c]
-            feats = [f[:, i] for i in range(cfg.num_cross_sources)]
+            if zeros_mode:
+                feats = "zeros"
+            else:
+                f = next(feat_iter)  # [B, n_src, h, w, c]
+                feats = [f[:, i] for i in range(cfg.num_cross_sources)]
         dk = next(dropout_keys) if (dropout_keys is not None and train and bcfg.dropout > 0) else None
         fn = partial(block_apply, cfg=bcfg, features=feats,
                      src_geometries=src_geometries, train=train, dropout_key=dk)
