@@ -122,7 +122,7 @@ def calc(image_path, ref_path, metrics, num_images, seed, max_batch_size, dest_p
 @click.option("--depth-model", help="Depth model for evaluation", metavar="STR", type=str, default=None, show_default=True)
 @click.option("--outdir", help="Where to save the output images", metavar="DIR", type=str, default=None, show_default=True)
 @click.option("--vanilla-mode", help="Single-source conditioning", is_flag=True)
-def gen(net, data_path, metrics, num_images, seed, range_selection, **opts):
+def gen(net, data_path, metrics, num_images, seed, **opts):
     """Calculate metrics for a given NVS model using default sampler settings."""
     from vivid_tpu.generate import generate_images_nvs
     dist.init()

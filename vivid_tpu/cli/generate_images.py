@@ -74,7 +74,6 @@ def cmdline(preset, data_path, **opts):
         opts.gnet = None
     elif opts.gnet is None:
         raise click.ClickException("Please specify --gnet when using guidance")
-    opts.pop("range_selection", None)
     opts["datakwargs"] = {"path": data_path}
 
     dist.init()

@@ -113,9 +113,13 @@ def generate_images_nvs(
                (256 if super_res else None))
     collate = collate_cls(imsize=64 if (super_res or sr_model is not None) else imsize,
                           sr_size=sr_size, seed=rng_seed)
-    dataset = SceneDataset(datakwargs["path"], seed=rng_seed,
-                           process_index=dist.get_rank(),
-                           process_count=dist.get_world_size())
+    from vivid_tpu.data.re10k_scenes import open_scene_dataset
+    if range_selection is not None:
+        datakwargs.setdefault("range_selection", range_selection)
+    dataset = open_scene_dataset(
+        datakwargs["path"], seed=rng_seed,
+        process_index=dist.get_rank(), process_count=dist.get_world_size(),
+        **{k: v for k, v in datakwargs.items() if k not in ("path", "class_name")})
     loader = BatchLoader(iter(dataset), collate, batch_size=max_batch_size,
                          prefetch=2, num_threads=2)
 

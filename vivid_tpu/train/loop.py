@@ -140,9 +140,12 @@ def training_loop(
     # Data.
     dataset_kwargs = dict(dataset_kwargs or {})
     dist.print0(f"Setting up {target_resolution}x{target_resolution} training data...")
-    dataset = SceneDataset(dataset_kwargs["path"], seed=seed,
-                           process_index=dist.get_rank(),
-                           process_count=dist.get_world_size())
+    from vivid_tpu.data.re10k_scenes import open_scene_dataset
+    dataset = open_scene_dataset(
+        dataset_kwargs["path"], seed=seed,
+        process_index=dist.get_rank(), process_count=dist.get_world_size(),
+        **{k: v for k, v in dataset_kwargs.items()
+           if k not in ("path", "class_name")})
     collate_cls = VanillaCollate if vanilla_mode else DualSourceCollate
     collate = collate_cls(imsize=target_resolution, seed=seed)
     per_process_batch = batch_size // dist.get_world_size()
@@ -171,7 +174,8 @@ def training_loop(
 
     test_loader = None
     if test_dataset_path and eval_samples and dist.get_rank() == 0:
-        test_dataset = SceneDataset(test_dataset_path, seed=seed + 1)
+        test_dataset = open_scene_dataset(test_dataset_path, seed=seed + 1,
+                                          split=dataset_kwargs.get("split", "test"))
         test_loader = BatchLoader(iter(test_dataset),
                                   collate_cls(imsize=target_resolution,
                                               sr_size=sr_eval_size, seed=seed + 1),
