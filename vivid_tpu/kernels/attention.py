@@ -41,6 +41,16 @@ def _flash():
     return flash_attention, BlockSizes
 
 
+def _largest_block(size: int, cap: int) -> int:
+    """Largest divisor of `size` that is <= cap and a multiple of 128
+    (the kernel's lane-width requirement); 0 if none exists."""
+    best = 0
+    for b in range(128, min(cap, size) + 1, 128):
+        if size % b == 0:
+            best = b
+    return best
+
+
 def _use_pallas(q, k) -> bool:
     import os
     if os.environ.get("VIVID_DISABLE_PALLAS"):
@@ -49,8 +59,9 @@ def _use_pallas(q, k) -> bool:
         return False
     sq, sk = q.shape[1], k.shape[1]
     # Pallas pays off once the logit matrix stops being tiny; block machinery
-    # needs at least 128 rows/columns.
-    return sq >= 256 and sk >= 256
+    # needs 128-multiple divisors of both sequence lengths.
+    return (sq >= 256 and sk >= 256
+            and _largest_block(sq, 512) > 0 and _largest_block(sk, 1024) > 0)
 
 
 def fused_attention(q, k, v, bias: Optional[jax.Array] = None):
@@ -63,8 +74,8 @@ def fused_attention(q, k, v, bias: Optional[jax.Array] = None):
     qT = jnp.swapaxes(q, 1, 2)  # [B, H, S, D]
     kT = jnp.swapaxes(k, 1, 2)
     vT = jnp.swapaxes(v, 1, 2)
-    block_q = min(512, sq)
-    block_k = min(1024, sk)
+    block_q = _largest_block(sq, 512)
+    block_k = _largest_block(sk, 1024)
     sizes = BlockSizes(
         block_q=block_q, block_k_major=block_k, block_k=block_k,
         block_b=1,
