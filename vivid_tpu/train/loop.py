@@ -188,6 +188,17 @@ def training_loop(
     loss_cls = SRNVLoss if sr_training else NVLoss
     loss_fn = loss_cls(plain_mse=plain_mse, **dict(loss_kwargs or {}))
 
+    # Gradient accumulation: batch_gpu limits the per-device microbatch
+    # (reference batch_gpu_total / num_accumulation_rounds math,
+    # training_loop.py:213-217); rounds run as a lax.scan inside the step.
+    num_accum = 1
+    if batch_gpu is not None and batch_gpu > 0:
+        per_device = batch_size // max(jax.device_count(), 1)
+        if batch_gpu < per_device:
+            assert per_device % batch_gpu == 0, \
+                f"batch/device {per_device} not divisible by batch_gpu {batch_gpu}"
+            num_accum = per_device // batch_gpu
+
     lr_args = dict(lr_kwargs or {})
     train_cfg = TrainConfig(
         batch_size=batch_size,
@@ -200,6 +211,7 @@ def training_loop(
         nimg_mult=(collate.nimg_mult if not vanilla_mode else 1),
         loss_clamp_3sigma=not plain_mse,
         force_wn=bool(net_kwargs.get("force_wn", False)),
+        num_accum=num_accum,
     )
     ema_exponents = tuple(float(std_to_exp(std) + 1) for std in train_cfg.ema_stds)
     state = init_train_state(params, train_cfg)
@@ -281,6 +293,16 @@ def training_loop(
             "tgt": encoder.encode_latents(raw["tgt_image"]),
             "geometry": jnp.asarray(raw["geometry"]),
         }
+        if train_cfg.num_accum > 1:
+            # [B, ...] -> [rounds, B/rounds, ...]; each round stays sharded
+            # over the data axis of the smaller microbatch.
+            batch = jax.tree.map(
+                lambda x: x.reshape((train_cfg.num_accum,
+                                     x.shape[0] // train_cfg.num_accum)
+                                    + x.shape[1:]), batch)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sh = NamedSharding(mesh, P(None, "data"))
+            return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
         return shard_batch(mesh, batch)
 
     # Startup FLOPs report (compiles the step once; cache reused by training).
