@@ -196,3 +196,73 @@ def test_epipolar_dist_golden_parity(ref):
     d_jax = get_epipolar_dist(np.asarray(geo)[None], imsize=64, patch_size=8)
     np.testing.assert_allclose(np.asarray(d_jax), d_ref.numpy(),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_plain_unet_golden_parity(ref):
+    """The standalone EDM2 UNet class (models.py:320-406) — not used by
+    NVPrecond but part of the model API surface."""
+    import torch
+    from vivid_tpu.compat.torch_pickle import map_torch_state
+    from vivid_tpu.nn.unet import UNetConfig, unet_apply
+    import jax, jax.numpy as jnp
+
+    torch.manual_seed(7)
+    net = ref.models.UNet(img_resolution=16, img_channels=3, label_dim=20,
+                          model_channels=16, channel_mult=[1, 2], num_blocks=1,
+                          attn_resolutions=[8], channels_per_head=8).eval()
+    tree = map_torch_state(
+        {k: v.detach().numpy() for k, v in net.named_parameters()},
+        {k: v.detach().numpy() for k, v in net.named_buffers()})
+    params = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), tree)
+    cfg = UNetConfig(img_resolution=16, img_channels=3, label_dim=20,
+                     kind="unet", model_channels=16, channel_mult=(1, 2),
+                     num_blocks=1, attn_resolutions=(8,), channels_per_head=8,
+                     remat=False)
+    rng = np.random.RandomState(8)
+    x = rng.randn(2, 3, 16, 16).astype(np.float32)
+    noise_labels = rng.randn(2).astype(np.float32)
+    geometry = (rng.randn(2, 20) * 0.3).astype(np.float32)
+    with torch.no_grad():
+        y_ref = net(torch.tensor(x), torch.tensor(noise_labels),
+                    torch.tensor(geometry)).numpy()
+    y_jax = unet_apply(params, cfg, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                       jnp.asarray(noise_labels), jnp.asarray(geometry))
+    y_jax = np.asarray(y_jax).transpose(0, 3, 1, 2)
+    psnr = _psnr(y_ref, y_jax)
+    assert psnr > 40, f"plain UNet PSNR {psnr:.1f} dB"
+
+
+def test_unet_encoder_golden_parity(ref):
+    """UNetEncoder feature extractor (models.py:523-570) standalone."""
+    import torch
+    from vivid_tpu.compat.torch_pickle import map_torch_state
+    from vivid_tpu.nn.unet import UNetConfig, unet_apply
+    import jax, jax.numpy as jnp
+
+    torch.manual_seed(9)
+    net = ref.models.UNetEncoder(img_resolution=16, img_channels=3,
+                                 label_dim=20, model_channels=16,
+                                 channel_mult=[1, 2], num_blocks=1,
+                                 attn_resolutions=[8],
+                                 channels_per_head=8).eval()
+    named = {k: v.detach().numpy() for k, v in net.named_parameters()}
+    buffers = {k: v.detach().numpy() for k, v in net.named_buffers()}
+    tree = map_torch_state(named, buffers)
+    params = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), tree)
+    cfg = UNetConfig(img_resolution=16, img_channels=3, label_dim=20,
+                     kind="encoder", model_channels=16, channel_mult=(1, 2),
+                     num_blocks=1, attn_resolutions=(8,), channels_per_head=8,
+                     remat=False)
+    rng = np.random.RandomState(10)
+    x = rng.randn(2, 3, 16, 16).astype(np.float32)
+    noise_labels = rng.randn(2).astype(np.float32)
+    geometry = (rng.randn(2, 20) * 0.3).astype(np.float32)
+    with torch.no_grad():
+        feats_ref = net(torch.tensor(x), torch.tensor(noise_labels),
+                        torch.tensor(geometry))
+    feats_jax = unet_apply(params, cfg, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                           jnp.asarray(noise_labels), jnp.asarray(geometry))
+    assert len(feats_ref) == len(feats_jax)
+    for fr, fj in zip(feats_ref, feats_jax):
+        psnr = _psnr(fr.numpy(), np.asarray(fj).transpose(0, 3, 1, 2))
+        assert psnr > 40, f"encoder feature PSNR {psnr:.1f}"
