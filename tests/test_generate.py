@@ -112,3 +112,18 @@ def test_metrics_gen_path_with_stub(env):
     assert set(results) == {"stub_fid", "psnr"}
     assert np.isfinite(results["stub_fid"])
     assert np.isfinite(results["psnr"])
+
+
+def test_generate_with_depth_model(env):
+    import jax.numpy as jnp
+    from vivid_tpu.nn.precond import PrecondConfig, precond_init
+    cfg = PrecondConfig(img_resolution=16, num_sources=2, depth_input=True, **TINY)
+    snap = os.path.join(env["root"], "depth-snapshot.pkl")
+    save_snapshot(snap, precond_init(jax.random.PRNGKey(5), cfg), cfg)
+    fake_depth = lambda x: jnp.ones(x.shape[:3], jnp.float32) * 2.0
+    it = generate_images_nvs(net=snap, seeds=range(0, 2), max_batch_size=2,
+                             depth_model=fake_depth,
+                             datakwargs={"path": env["data"]}, num_steps=2,
+                             verbose=False)
+    b = [b for b in it if b.images is not None][0]
+    assert b.images.shape == (2, 16, 16, 3)

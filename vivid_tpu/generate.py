@@ -90,10 +90,8 @@ def generate_images_nvs(
         dist.barrier("load-net")
     if encoder is None:
         encoder = StandardRGBEncoder()
-    if depth_model is not None and isinstance(depth_model, str):
-        raise NotImplementedError(
-            "DepthAnythingV2 weights are an external dependency; pass a "
-            "callable depth_model or omit it (reference README.md:20-23).")
+    from vivid_tpu.geometry.depth import add_depth, resolve_depth_model
+    depth_model = resolve_depth_model(depth_model)
 
     cfg = net.cfg
     params = net.params
@@ -154,6 +152,16 @@ def generate_images_nvs(
                     tgt_raw = raw[tgt_key][:n]
                     geometry = jnp.asarray(raw[geo_key][:n])
                     src = encoder.encode_latents(src_raw)
+                    if depth_model is not None:
+                        # Depth inference per source view on the raw pixels
+                        # (generate_images.py:293-295 analogue).
+                        bs, ns = src.shape[:2]
+                        flat = src.reshape((bs * ns,) + src.shape[2:])
+                        flat_raw = jnp.asarray(src_raw).reshape(
+                            (bs * ns,) + src_raw.shape[2:])
+                        flat = add_depth(depth_model, flat_raw, flat,
+                                         inv_norm=cfg.depth_input)
+                        src = flat.reshape((bs, ns) + flat.shape[1:])
 
                     noise = seeded_normal(
                         r.seeds, (imsize, imsize, cfg.img_channels))
