@@ -13,7 +13,6 @@ Differences by design (TPU-first):
   * startup FLOPs analysis uses XLA cost analysis instead of a profiler hook.
 """
 
-import dataclasses
 import json
 import os
 import time
@@ -184,7 +183,11 @@ def training_loop(
     n_params = sum(int(x.size) for x in jax.tree.leaves(params))
     dist.print0(f"Parameters: {n_params / 1e6:.2f} M")
 
-    encoder = StandardRGBEncoder()
+    if encoder_kwargs:
+        from vivid_tpu.core.registry import construct_class_by_name
+        encoder = construct_class_by_name(**dict(encoder_kwargs))
+    else:
+        encoder = StandardRGBEncoder()
     loss_cls = SRNVLoss if sr_training else NVLoss
     loss_fn = loss_cls(plain_mse=plain_mse, **dict(loss_kwargs or {}))
 
@@ -218,8 +221,6 @@ def training_loop(
     del params
 
     # Resume.
-    state_holder = {"state": _state_to_dict(state)}
-    ckpt = CheckpointIO(state=state_holder["state"])
     resumed = latest_checkpoint(run_dir)
     if resumed is not None:
         dist.print0(f"Resuming from {resumed} ...")
