@@ -128,6 +128,20 @@ def generate_images_nvs(
         # No guidance in the SR stage (generate_images.py:230-232).
         sr_sample_fn = _build_sampler(sr_model.cfg, None, sampler_kwargs, True)
 
+    # Shard sampling over this process's devices when the batch divides the
+    # device count (data-parallel serving on a multi-chip host).
+    from vivid_tpu.core.sharding import make_mesh, shard_batch as _shard
+    n_dev = len(jax.local_devices())
+    mesh = make_mesh(n_data=n_dev) if n_dev > 1 else None
+
+    def maybe_shard(tree):
+        if mesh is None:
+            return tree
+        b_ = jax.tree.leaves(tree)[0].shape[0]
+        if b_ % n_dev != 0:
+            return tree
+        return _shard(mesh, tree)
+
     if verbose:
         dist.print0(f"Generating {len(seeds)} images...")
 
@@ -165,6 +179,7 @@ def generate_images_nvs(
 
                     noise = seeded_normal(
                         r.seeds, (imsize, imsize, cfg.img_channels))
+                    src, geometry, noise = maybe_shard((src, geometry, noise))
                     rng = jax.random.fold_in(jax.random.PRNGKey(rng_seed),
                                              batch_idx)
                     cond = None
