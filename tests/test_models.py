@@ -187,3 +187,14 @@ def test_param_count_parity_base_channels64():
     assert abs(enc / 29.85e6 - 1) < 0.01, f"encoder params {enc}"
     assert abs(unet / 32.82e6 - 1) < 0.01, f"unet params {unet}"
     assert abs(total / 62.67e6 - 1) < 0.01, f"total params {total}"
+
+
+@pytest.mark.slow
+def test_param_count_parity_sr_preset():
+    """Reference NVPrecond at the vivid-sr preset config counts exactly
+    38,198,325 trainable params (verified against the torch implementation);
+    the experiments/log.txt 57.5M figure was a different run config."""
+    cfg = PrecondConfig(img_resolution=256, num_sources=2, model_channels=64,
+                        super_res=True, noisy_sr=0.25)
+    params = precond_init(jax.random.PRNGKey(0), cfg)
+    assert n_trainable(params) == 38_198_325
