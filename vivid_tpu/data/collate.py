@@ -47,6 +47,10 @@ def resize_image(img: np.ndarray, size: int) -> np.ndarray:
         f = h // size
         return arr.reshape(size, f, size, f, 3).mean(axis=(1, 3), dtype=np.float32)
     if h != size or w != size:
+        from vivid_tpu.native.fast_image import (fast_resize_available,
+                                                 resize_bilinear_u8)
+        if fast_resize_available():
+            return resize_bilinear_u8(arr, size)
         pil = PIL.Image.fromarray(arr, "RGB")
         arr = np.asarray(pil.resize((size, size), PIL.Image.Resampling.BILINEAR))
     return arr.astype(np.float32)
