@@ -85,6 +85,25 @@ def test_sampler_churn_changes_trajectory_deterministically():
     assert not np.allclose(np.asarray(a), np.asarray(c))
 
 
+def test_sampler_churn_per_seed_batch_invariance():
+    """With per-sample `seeds`, S_churn>0 output for sample i must depend
+    only on seeds[i] — not on batch composition or row position
+    (StackedRandomGenerator contract, generate_images.py:78-84,120-134)."""
+    from vivid_tpu.core.rngs import seeded_normal
+    denoise = lambda x, t: 0.1 * x
+    kw = dict(num_steps=4, S_churn=10, rng=jax.random.PRNGKey(7))
+    # Batch A: seeds [3, 5, 11]; Batch B: seeds [11] alone.
+    noise_a = seeded_normal([3, 5, 11], (4, 4, 1))
+    noise_b = seeded_normal([11], (4, 4, 1))
+    out_a = np.asarray(edm_sampler(denoise, noise_a,
+                                   seeds=jnp.asarray([3, 5, 11]), **kw))
+    out_b = np.asarray(edm_sampler(denoise, noise_b,
+                                   seeds=jnp.asarray([11]), **kw))
+    np.testing.assert_allclose(out_a[2], out_b[0], rtol=1e-6)
+    # And distinct seeds give distinct churn noise.
+    assert not np.allclose(out_a[0], out_a[1])
+
+
 def test_sampler_jits():
     denoise = lambda x, t: 0.2 * x
     f = jax.jit(lambda n: edm_sampler(denoise, n, num_steps=4))

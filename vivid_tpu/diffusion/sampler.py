@@ -40,11 +40,18 @@ def edm_sampler(denoise: Callable, noise: jax.Array,
                 sigma_max: float = 80.0, rho: float = 7.0, guidance=1.0,
                 S_churn: float = 0.0, S_min: float = 0.0,
                 S_max: float = float("inf"), S_noise: float = 1.0,
-                rng: Optional[jax.Array] = None) -> jax.Array:
+                rng: Optional[jax.Array] = None,
+                seeds: Optional[jax.Array] = None) -> jax.Array:
     """denoise(x, t[B]) -> D_x. noise: [B, H, W, C] ~ N(0,1).
 
     Fully traceable: wrap in jit at the call site (the CLI does). Guidance may
     be a traced scalar; use gnet_denoise=None for no guidance.
+
+    `seeds` ([B] ints) gives every sample its own churn-noise stream, so
+    S_churn>0 results for sample i depend only on seeds[i] — invariant to
+    batch composition, the StackedRandomGenerator contract
+    (generate_images.py:78-84,120-134). Without seeds, per-sample streams
+    are split from `rng` (deterministic, but batch-position-dependent).
     """
     t_steps = sigma_schedule(num_steps, sigma_min, sigma_max, rho)
     b = noise.shape[0]
@@ -58,6 +65,12 @@ def edm_sampler(denoise: Callable, noise: jax.Array,
 
     churn_gamma = min(S_churn / num_steps, math.sqrt(2.0) - 1.0) if S_churn > 0 else 0.0
     base_rng = rng if rng is not None else jax.random.PRNGKey(0)
+    if churn_gamma > 0:
+        if seeds is not None:
+            from vivid_tpu.core.rngs import per_seed_keys
+            sample_keys = per_seed_keys(seeds)          # [B] keys, one/sample
+        else:
+            sample_keys = jax.random.split(base_rng, b)
 
     # The 2N-1 denoiser evaluations are scanned as *half-steps* with exactly
     # ONE guided-denoise call in the body (selects steer the Euler vs Heun
@@ -88,9 +101,12 @@ def edm_sampler(denoise: Callable, noise: jax.Array,
             use_churn = (t_a >= S_min) & (t_a <= S_max) & is_euler
             gamma = jnp.where(use_churn, churn_gamma, 0.0)
             t_hat_new = t_a + gamma * t_a
-            eps = jax.random.normal(
-                jax.random.fold_in(base_rng, idx.astype(jnp.uint32)),
-                x.shape, x.dtype)
+            # One stream per sample: fold the step index into each sample's
+            # key so eps[i] is a function of (seeds[i], step) only.
+            eps = jax.vmap(
+                lambda k: jax.random.normal(
+                    jax.random.fold_in(k, idx.astype(jnp.uint32)),
+                    x.shape[1:], x.dtype))(sample_keys)
             x_hat_new = jnp.where(
                 is_euler,
                 x + jnp.sqrt(jnp.maximum(t_hat_new ** 2 - t_a ** 2, 0.0))

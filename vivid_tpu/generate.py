@@ -45,7 +45,7 @@ def _build_sampler(cfg, gcfg, sampler_kwargs, super_res):
 
     @partial(jax.jit, static_argnames=("use_gnet",))
     def sample(params, gparams, src, geometry, noise, guidance, rng,
-               conditioning_image=None, use_gnet=True):
+               conditioning_image=None, use_gnet=True, seeds=None):
         denoise = make_denoiser(params, cfg, src=src, geometry=geometry,
                                 conditioning_image=conditioning_image, rng=rng)
         gden = None
@@ -55,7 +55,7 @@ def _build_sampler(cfg, gcfg, sampler_kwargs, super_res):
             gden = make_denoiser(gparams, gcfg, src=g_src, geometry=g_geo,
                                  conditioning_image=None, rng=rng)
         return edm_sampler(denoise, noise, gnet_denoise=gden,
-                           guidance=guidance, rng=rng, **kw)
+                           guidance=guidance, rng=rng, seeds=seeds, **kw)
 
     return sample
 
@@ -179,7 +179,9 @@ def generate_images_nvs(
 
                     noise = seeded_normal(
                         r.seeds, (imsize, imsize, cfg.img_channels))
-                    src, geometry, noise = maybe_shard((src, geometry, noise))
+                    seed_arr = jnp.asarray(r.seeds, jnp.uint32)
+                    src, geometry, noise, seed_arr = maybe_shard(
+                        (src, geometry, noise, seed_arr))
                     rng = jax.random.fold_in(jax.random.PRNGKey(rng_seed),
                                              batch_idx)
                     cond = None
@@ -191,7 +193,8 @@ def generate_images_nvs(
                                         src, geometry, noise,
                                         jnp.asarray(guidance, jnp.float32), rng,
                                         conditioning_image=cond,
-                                        use_gnet=(gnet is not None and guidance != 1))
+                                        use_gnet=(gnet is not None and guidance != 1),
+                                        seeds=seed_arr)
                     r.images = np.asarray(encoder.decode(latents))
                     r.src = src_raw[:, 0] if src_raw.ndim == 5 else src_raw
                     r.tgt = tgt_raw
@@ -212,7 +215,8 @@ def generate_images_nvs(
                             sr_model.params, sr_model.params, sr_src,
                             sr_geometry, sr_noise,
                             jnp.asarray(1.0, jnp.float32), rng,
-                            conditioning_image=low_res, use_gnet=False)
+                            conditioning_image=low_res, use_gnet=False,
+                            seeds=jnp.asarray(r.seeds, jnp.uint32))
                         r.images = np.asarray(encoder.decode(sr_latents))
                         r.src = sr_src_raw[:, 0] if sr_src_raw.ndim == 5 else sr_src_raw
                         r.tgt = sr_tgt_raw
