@@ -182,6 +182,27 @@ def test_mapped_tree_loads_into_model():
         np.asarray(tree["unet"]["out_conv"]["w"]))
 
 
+def test_verify_tree_against_config():
+    """The loader's shape cross-check passes a faithful tree and pinpoints a
+    config drift (silent init_kwargs defaulting would otherwise surface as a
+    far-away apply error)."""
+    import jax
+    import pytest
+    from vivid_tpu.compat.torch_pickle import verify_tree_against_config
+    from vivid_tpu.nn.precond import PrecondConfig, precond_init
+
+    cfg = PrecondConfig(img_resolution=16, num_sources=2, model_channels=16,
+                        channel_mult=(1, 2), num_blocks=1, attn_resolutions=(8,),
+                        channels_per_head=8, use_bf16=False)
+    params = precond_init(jax.random.PRNGKey(0), cfg)
+    verify_tree_against_config(params, cfg)  # no raise
+
+    import dataclasses
+    wrong = dataclasses.replace(cfg, model_channels=32)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        verify_tree_against_config(params, wrong)
+
+
 def test_extract_config_dual_source_detection():
     class FakeNet:
         init_kwargs = dict(img_resolution=64, model_channels=128,

@@ -94,6 +94,28 @@ def test_batch_loader_static_shapes(dataset_dir):
         assert batch["src_image"].shape == (4, 2, 64, 64, 3)
         assert batch["tgt_image"].shape == (4, 64, 64, 3)
         assert batch["geometry"].shape == (4, 2, 20)
+        assert batch["valid"].all()
+    loader.close()
+
+
+def test_batch_loader_tail_padding_masked():
+    """A finite iterator's padded tail batch keeps static shapes but flags
+    the duplicated rows, so eval consumers can drop them."""
+
+    class OneRow:
+        def rows_from_scene(self, scene):
+            return [{"x": np.full((2,), scene, np.float32)}]
+
+    loader = BatchLoader(iter(range(5)), OneRow(), batch_size=4,
+                         prefetch=1, num_threads=1)
+    first = next(loader)
+    assert first["x"].shape == (4, 2) and first["valid"].all()
+    tail = next(loader)
+    assert tail["x"].shape == (4, 2)
+    assert tail["valid"].tolist() == [True, False, False, False]
+    import pytest
+    with pytest.raises(StopIteration):
+        next(loader)
     loader.close()
 
 

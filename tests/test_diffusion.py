@@ -205,6 +205,64 @@ def test_posthoc_identity_reconstruction():
     np.testing.assert_allclose(X[:, 0], np.array([1.0, 0.0]), atol=1e-8)
 
 
+def test_reconstruct_phema_matches_online_tracking():
+    """Post-hoc reconstruction of an UNTRACKED std (0.075) from the two
+    tracked series must match an exact online EMA tracked at that std
+    (EDM2 Algorithm 3 end-to-end)."""
+    from vivid_tpu.diffusion.phema import reconstruct_phema
+    rng = np.random.RandomState(0)
+    stds = [0.05, 0.075, 0.10]        # 0.075 tracked only as ground truth
+    params = {"w": jnp.zeros(8)}
+    emas = [params] * 3
+    snapshots = []
+    batch = 64.0
+    for step in range(1, 401):
+        params = {"w": params["w"] + jnp.asarray(rng.randn(8), jnp.float32) * 0.1}
+        emas = ema_update(emas, params, cur_nimg=step * batch,
+                          batch_size=batch, stds=stds)
+        if step % 20 == 0:
+            nimg = int(step * batch)
+            snapshots.append((nimg, 0.05, emas[0]))
+            snapshots.append((nimg, 0.10, emas[2]))
+    rec = reconstruct_phema(snapshots, 0.075, verbose=False)[0]
+    want = np.asarray(emas[1]["w"])
+    got = np.asarray(rec.params["w"])
+    np.testing.assert_allclose(got, want, rtol=0, atol=2e-2 * np.abs(want).max())
+
+
+def test_reconstruct_phema_identity_from_files(tmp_path):
+    """Reconstructing a TRACKED std at the latest snapshot point returns that
+    snapshot (identity coefficients), through the file + CLI surface."""
+    from click.testing import CliRunner
+    from vivid_tpu.cli.reconstruct_phema import main as cli_main
+    from vivid_tpu.train.snapshots import load_snapshot, save_snapshot
+    from vivid_tpu.nn.precond import PrecondConfig
+    cfg = PrecondConfig(img_resolution=32, num_sources=2, model_channels=16,
+                        channel_mult=(1, 2), num_blocks=1,
+                        attn_resolutions=(16,), channels_per_head=8,
+                        use_bf16=False)
+    rng = np.random.RandomState(1)
+    run = tmp_path / "run"
+    run.mkdir()
+    last = None
+    for kimg in (10, 20, 30):
+        for std in (0.05, 0.10):
+            tree = {"w": jnp.asarray(rng.randn(4, 4), jnp.float32)}
+            save_snapshot(str(run / f"network-snapshot-{kimg:07d}-{std:.3f}.pkl"),
+                          tree, cfg)
+            if kimg == 30 and std == 0.05:
+                last = np.asarray(tree["w"])
+    res = CliRunner().invoke(cli_main, ["--in-dir", str(run),
+                                        "--out-dir", str(tmp_path / "out"),
+                                        "--out-std", "0.050"])
+    assert res.exit_code == 0, res.output
+    rec = load_snapshot(str(tmp_path / "out" / "phema-0000030-0.050.pkl"))
+    # fp16 snapshot storage bounds the round-trip error.
+    np.testing.assert_allclose(np.asarray(rec.params["w"]), last,
+                               rtol=0, atol=2e-3 * np.abs(last).max())
+    assert rec.cfg.model_channels == 16
+
+
 def test_ema_update_converges_to_params():
     params = {"w": jnp.ones((4,))}
     emas = [{"w": jnp.zeros((4,))}]

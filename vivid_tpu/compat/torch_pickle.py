@@ -158,6 +158,40 @@ def extract_config(net) -> dict:
     return mapped
 
 
+def verify_tree_against_config(params, cfg, origin="<pickle>"):
+    """Cross-check a mapped param tree against the shapes `precond_init`
+    would produce for `cfg`. extract_config silently defaults any missing
+    init_kwargs; a renamed/missing field would otherwise reconstruct a
+    differently-shaped net and fail far from the cause."""
+    import jax
+    from vivid_tpu.nn.precond import precond_init
+
+    want = jax.eval_shape(lambda: precond_init(jax.random.PRNGKey(0), cfg))
+
+    def flat(tree):
+        leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
+        return {"/".join(str(getattr(k, "key", k)) for k in p): tuple(v.shape)
+                for p, v in leaves}
+
+    got_s, want_s = flat(params), flat(want)
+    problems = []
+    for k in sorted(set(want_s) - set(got_s)):
+        problems.append(f"missing leaf {k} (want {want_s[k]})")
+    for k in sorted(set(got_s) - set(want_s)):
+        problems.append(f"unexpected leaf {k} {got_s[k]}")
+    for k in sorted(set(got_s) & set(want_s)):
+        if got_s[k] != want_s[k]:
+            problems.append(f"shape mismatch {k}: got {got_s[k]}, "
+                            f"want {want_s[k]}")
+    if problems:
+        head = "\n  ".join(problems[:12])
+        more = f"\n  ... and {len(problems) - 12} more" if len(problems) > 12 else ""
+        raise ValueError(
+            f"{origin}: mapped weights do not match the derived config "
+            f"({len(problems)} problems) — the pickle's init_kwargs are "
+            f"probably missing/renamed fields:\n  {head}{more}")
+
+
 def load_reference_pickle(path: str) -> EasyDict:
     """Full import path: reference pickle -> (jax params, PrecondConfig)."""
     import jax.numpy as jnp
@@ -171,6 +205,7 @@ def load_reference_pickle(path: str) -> EasyDict:
     tree = map_torch_state(named_params, named_buffers)
     cfg = PrecondConfig(**extract_config(net))
     params = _flatten_to_jax(tree)
+    verify_tree_against_config(params, cfg, origin=path)
     return EasyDict(params=params, cfg=cfg,
                     encoder="vivid_tpu.data.encoders.StandardRGBEncoder",
                     dataset_kwargs=dict(data.get("dataset_kwargs", {}) or {}),

@@ -194,8 +194,12 @@ class BatchLoader:
         pending = []
         while not self._stop.is_set():
             rows = self._next_rows()
+            n_valid = None
             if rows is None:  # finite iterator exhausted: pad the tail batch
                 if pending:
+                    # Static shapes for XLA — but mark the padding so eval
+                    # consumers don't count duplicated rows as real samples.
+                    n_valid = len(pending)
                     while len(pending) < self.batch_size:
                         pending.append(pending[-1])
                 else:
@@ -207,6 +211,10 @@ class BatchLoader:
                 batch_rows = pending[:self.batch_size]
                 pending = pending[self.batch_size:]
                 batch = {k: np.stack([r[k] for r in batch_rows]) for k in batch_rows[0]}
+                mask = np.ones(self.batch_size, bool)
+                if n_valid is not None:
+                    mask[n_valid:] = False
+                batch["valid"] = mask
                 self.queue.put(batch)  # daemon threads; close() drains to unblock
 
     def __iter__(self):

@@ -11,6 +11,9 @@ Tracked stds default to [0.050, 0.100] like the reference, and `get()` yields
 (params, '-0.050'-style suffix) pairs for snapshot naming parity.
 """
 
+import os
+import re
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -72,6 +75,117 @@ def solve_posthoc_coefficients(in_ofs, in_std, out_ofs, out_std):
     B = power_function_correlation(rv(in_ofs), rv(in_std), cv(out_ofs), cv(out_std))
     X = np.linalg.solve(A, B)
     return X / np.sum(X, axis=0)
+
+
+# -- post-hoc reconstruction ---------------------------------------------------
+
+_SNAPSHOT_RE = re.compile(r"network-snapshot-(\d+)-(\d+\.\d+)\.pkl$")
+
+
+def list_phema_snapshots(run_dir):
+    """Scan a training run directory for the per-std EMA snapshot series the
+    trainer writes (`network-snapshot-{nimg//1000:07d}-{std:.3f}.pkl`,
+    train/loop.py) -> sorted [(nimg, std, path)]."""
+    out = []
+    for name in os.listdir(run_dir):
+        m = _SNAPSHOT_RE.search(name)
+        if m:
+            out.append((int(m.group(1)) * 1000, float(m.group(2)),
+                        os.path.join(run_dir, name)))
+    return sorted(out)
+
+
+def reconstruct_phema(inputs, out_std, out_nimg=None, out_dir=None,
+                      verbose=True):
+    """Post-hoc EMA: synthesize a model at an ARBITRARY EMA std from the two
+    (or more) tracked-std snapshot series, via the least-squares profile
+    combination of `solve_posthoc_coefficients` (EDM2 Algorithm 3 — the
+    reason the trainer tracks two stds; training/phema.py:80-89 ships the
+    solver but no applier).
+
+    inputs   : a run directory (scanned with list_phema_snapshots), a list of
+               snapshot paths, or a list of (nimg, std, param_tree) triples.
+    out_std  : target EMA std (float or list of floats).
+    out_nimg : reconstruction point in images; defaults to the latest
+               snapshot's nimg (only snapshots with nimg <= out_nimg
+               contribute — later ones are not part of the profile).
+    out_dir  : if set, each reconstruction is saved there as
+               `phema-{nimg//1000:07d}-{std:.3f}.pkl` (requires path inputs,
+               whose snapshots carry the model config).
+
+    Returns [EasyDict(params, std, nimg, path)] aligned with out_std.
+    Accumulation is float64 on host: X mixes large +/- coefficients, so
+    fp32 accumulation loses several digits.
+    """
+    from vivid_tpu.core.easydict import EasyDict
+
+    if isinstance(inputs, str):
+        inputs = list_phema_snapshots(inputs)
+        if not inputs:
+            raise ValueError("no network-snapshot-*-*.pkl series found")
+    entries = []
+    for item in inputs:
+        if isinstance(item, str):
+            m = _SNAPSHOT_RE.search(os.path.basename(item))
+            if m is None:
+                raise ValueError(f"cannot parse (nimg, std) from {item!r}")
+            entries.append((int(m.group(1)) * 1000, float(m.group(2)), item))
+        else:
+            entries.append(tuple(item))
+    entries.sort(key=lambda e: (e[0], e[1]))
+
+    out_stds = [float(s) for s in np.atleast_1d(out_std)]
+    if out_nimg is None:
+        out_nimg = max(e[0] for e in entries)
+    entries = [e for e in entries if 0 < e[0] <= out_nimg]
+    if not entries:
+        raise ValueError(f"no snapshots at nimg <= {out_nimg}")
+
+    in_ofs = np.asarray([e[0] for e in entries], np.float64)
+    in_std = np.asarray([e[1] for e in entries], np.float64)
+    coef = solve_posthoc_coefficients(in_ofs, in_std,
+                                      np.full(len(out_stds), float(out_nimg)),
+                                      np.asarray(out_stds))   # [in, out]
+
+    acc = [None] * len(out_stds)  # fp64 numpy trees
+    model_cfg = None
+    for i, (nimg, std, src) in enumerate(entries):
+        if isinstance(src, str):
+            from vivid_tpu.train.snapshots import load_snapshot
+            snap = load_snapshot(src)
+            tree, model_cfg = snap.params, snap.cfg
+            if verbose:
+                print(f"  {os.path.basename(src)}: "
+                      + " ".join(f"{c:+.4f}" for c in coef[i]))
+        else:
+            tree = src
+        tree64 = jax.tree.map(
+            lambda x: np.asarray(jax.device_get(x), np.float64), tree)
+        for j in range(len(out_stds)):
+            c = float(coef[i, j])
+            if acc[j] is None:
+                acc[j] = jax.tree.map(lambda x: c * x, tree64)
+            else:
+                acc[j] = jax.tree.map(lambda a, x: a + c * x, acc[j], tree64)
+
+    results = []
+    for j, std in enumerate(out_stds):
+        params = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), acc[j])
+        path = None
+        if out_dir is not None:
+            if model_cfg is None:
+                raise ValueError("out_dir requires snapshot-path inputs "
+                                 "(in-memory trees carry no model config)")
+            from vivid_tpu.train.snapshots import save_snapshot
+            os.makedirs(out_dir, exist_ok=True)
+            path = os.path.join(
+                out_dir, f"phema-{int(out_nimg) // 1000:07d}-{std:.3f}.pkl")
+            save_snapshot(path, params, model_cfg)
+            if verbose:
+                print(f"saved {path}")
+        results.append(EasyDict(params=params, std=std, nimg=int(out_nimg),
+                                path=path))
+    return results
 
 
 # -- online trackers ----------------------------------------------------------

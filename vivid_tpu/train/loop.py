@@ -181,6 +181,10 @@ def training_loop(
                                   batch_size=eval_samples, prefetch=1, num_threads=1)
     params = precond_init(base_key(seed), model_cfg)
     n_params = sum(int(x.size) for x in jax.tree.leaves(params))
+    # Per-module parameter table at startup (the reference prints a full
+    # module summary before training, torch_utils/misc.py:205-272).
+    from vivid_tpu.core.summary import param_table
+    dist.print0(param_table(params))
     dist.print0(f"Parameters: {n_params / 1e6:.2f} M")
 
     if encoder_kwargs:
