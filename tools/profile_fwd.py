@@ -72,9 +72,11 @@ def section_full(ch, batch, variant="full"):
     sigma = jnp.exp(jax.random.normal(jax.random.fold_in(key, 2), (batch,)))
     geometry = jax.random.normal(jax.random.fold_in(key, 3), (batch, 2, 20))
 
-    fwd = jax.jit(lambda d: precond_apply(params, cfg, src, d, sigma, geometry))
-    dt = timed(fwd, dst)
-    fl = flops_of(fwd, dst)
+    # params must be jit ARGUMENTS (closed-over trees become HLO literals and
+    # overflow the tunnel's remote-compile transport).
+    fwd = jax.jit(lambda p, s, d, sg, g: precond_apply(p, cfg, s, d, sg, g))
+    dt = timed(fwd, params, src, dst, sigma, geometry, chain_arg=2)
+    fl = flops_of(fwd, params, src, dst, sigma, geometry)
     print(f"{variant:>20}: {dt * 1e3:7.2f} ms  {fl / dt / 1e12:6.1f} TF/s "
           f"({fl / 1e9:.0f} GF)")
     return dt
@@ -131,17 +133,17 @@ def section_block_micro(ch, batch):
     f1 = jax.random.normal(jax.random.fold_in(key, 2), (batch, 32, 32, c), jnp.bfloat16)
     f2 = jax.random.normal(jax.random.fold_in(key, 3), (batch, 32, 32, c), jnp.bfloat16)
 
-    full = jax.jit(lambda x_: block_apply(params, cfg, x_, emb, features=[f1, f2]))
-    dt = timed(full, x, n1=10, n2=50)
+    full = jax.jit(lambda p, x_: block_apply(p, cfg, x_, emb, features=[f1, f2]))
+    dt = timed(full, params, x, n1=10, n2=50, chain_arg=1)
     print(f"\nxattn block r32 (full): {dt * 1e3:.3f} ms "
-          f"({flops_of(full, x) / dt / 1e12:.1f} TF/s)")
+          f"({flops_of(full, params, x) / dt / 1e12:.1f} TF/s)")
 
     ncfg = BlockConfig(in_channels=c, out_channels=c, emb_channels=ch * 4,
                        flavor="enc", attention=False)
     nparams = {k: v for k, v in params.items()
                if k in ("emb_gain", "conv_res0", "emb_linear", "conv_res1")}
-    noattn = jax.jit(lambda x_: block_apply(nparams, ncfg, x_, emb))
-    dt2 = timed(noattn, x, n1=10, n2=50)
+    noattn = jax.jit(lambda p, x_: block_apply(p, ncfg, x_, emb))
+    dt2 = timed(noattn, nparams, x, n1=10, n2=50, chain_arg=1)
     print(f"xattn block r32 (conv part only): {dt2 * 1e3:.3f} ms "
           f"-> attention region = {(dt - dt2) * 1e3:.3f} ms")
 

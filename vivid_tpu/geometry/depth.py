@@ -52,14 +52,28 @@ def add_depth(depth_model: Callable, image, src, inv_norm: bool = False):
 
 
 def resolve_depth_model(depth_model, weights_dir: Optional[str] = None):
-    """None/callable passthrough; named sizes require external weights
-    (the reference loads depth_anything_v2_metric_hypersim_{vits,vitb,vitl}.pth)."""
+    """None/callable passthrough; 'small'|'base'|'large' builds the JAX-native
+    DepthAnythingV2 (geometry/depth_anything.py) from the same metric-hypersim
+    checkpoint files the reference loads (training/utils.py:232-243), found in
+    $VIVID_DEPTH_DIR (default '.'). Weights stay an external artifact
+    (reference README.md:20-23) — only their absence errors, with the path."""
     if depth_model is None or callable(depth_model):
         return depth_model
     if isinstance(depth_model, str):
-        raise NotImplementedError(
-            f"Depth model {depth_model!r}: DepthAnythingV2 is an external "
-            "dependency (reference README.md:20-23). Provide a callable "
-            "depth_model([B,H,W,3])->[B,h,w] instead, or omit depth "
-            "conditioning.")
+        import os
+        from vivid_tpu.geometry.depth_anything import (ENCODER_NAMES,
+                                                       load_depth_anything)
+        if depth_model not in ENCODER_NAMES:
+            raise ValueError(f"Unknown depth model {depth_model!r}; expected "
+                             f"one of {sorted(ENCODER_NAMES)} or a callable")
+        fname = (f"depth_anything_v2_metric_hypersim_"
+                 f"{ENCODER_NAMES[depth_model]}.pth")
+        d = weights_dir or os.environ.get("VIVID_DEPTH_DIR", ".")
+        path = os.path.join(d, fname)
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"DepthAnythingV2 weights not found at {path}. Download "
+                f"{fname} (Depth-Anything-V2 metric hypersim release) into "
+                "$VIVID_DEPTH_DIR, or pass a callable depth model.")
+        return load_depth_anything(depth_model, path)
     return depth_model

@@ -80,6 +80,27 @@ class InceptionV3Detector(Detector):
             return self.model(t, return_features=True).numpy()
 
 
+class JaxInceptionDetector(Detector):
+    """Device-side FID detector: the TF-slim inception-2015-12-05 graph
+    re-implemented in JAX (metrics/inception_jax.py), weights imported from
+    the same NVIDIA pickle the torch sidecar uses. Runs jitted on the
+    accelerator — the torch-CPU sidecar dominates 10k-image evals on 1-core
+    hosts."""
+
+    def __init__(self):
+        super().__init__(feature_dim=2048)
+        from vivid_tpu.metrics.inception_jax import (inception_features,
+                                                     params_from_torch_module)
+        torch_side = InceptionV3Detector()  # raises clearly if weights absent
+        self.params = params_from_torch_module(torch_side.model)
+        del torch_side
+        self._features = inception_features
+
+    def __call__(self, x):
+        return np.asarray(self._features(self.params, np.asarray(x, np.uint8)),
+                          np.float32)
+
+
 class DINOv2Detector(Detector):
     """FD-DINOv2 detector (1024-d), dinov2_vitl14 with bicubic 224 resize +
     ImageNet normalization (calculate_metrics.py:56-84). Loaded through
@@ -108,9 +129,9 @@ class DINOv2Detector(Detector):
 
 
 metric_specs = {
-    "fid": EasyDict(detector_class=InceptionV3Detector),
+    "fid": EasyDict(detector_class=JaxInceptionDetector),
     "fd_dinov2": EasyDict(detector_class=DINOv2Detector),
-    "joint_fid": EasyDict(detector_class=InceptionV3Detector),
+    "joint_fid": EasyDict(detector_class=JaxInceptionDetector),
     "joint_fd_dinov2": EasyDict(detector_class=DINOv2Detector),
     "psnr": EasyDict(),
     # Pipeline-testing metrics with the stub detector:

@@ -42,10 +42,18 @@ def _c(name, cout, k, s=1, pad="SAME"):
     return ("conv", name, cout, (k, k) if isinstance(k, int) else k, s, pad)
 
 
+def _prefix(node, pre):
+    if node[0] == "conv":
+        return (node[0], f"{pre}/{node[1]}") + node[2:]
+    if node[0] == "fan":
+        return ("fan", tuple(tuple(_prefix(n, pre) for n in br)
+                             for br in node[1]))
+    return node
+
+
 def _mixed(name, *branches):
     return ("fan", tuple(
-        tuple((n[0], f"{name}/Branch_{i}/{n[1]}") + n[2:] if n[0] == "conv"
-              else n for n in br)
+        tuple(_prefix(n, f"{name}/Branch_{i}") for n in br)
         for i, br in enumerate(branches)))
 
 
@@ -126,23 +134,25 @@ INPUT_SIZE = 299
 # ---------------------------------------------------------------------------
 # Spec walking (shared by init, apply, and weight import).
 
-def iter_convs(spec=INCEPTION_V3_SPEC, cin=3):
-    """Yield (name, cin, cout, kernel, stride, pad) in topological order."""
+def _walk_convs(spec, cin, out: list) -> int:
+    """Append (name, cin, cout, kernel, stride, pad) for every conv in `spec`
+    to `out` in topological order; return the sequence's out channels."""
     for node in spec:
         if node[0] == "conv":
             _, name, cout, k, s, pad = node
-            yield name, cin, cout, k, s, pad
+            out.append((name, cin, cout, k, s, pad))
             cin = cout
         elif node[0] == "fan":
-            couts = []
-            for br in node[1]:
-                c = cin
-                for sub in iter_convs(br, c):
-                    yield sub
-                    c = sub[2]
-                couts.append(c)
-            cin = sum(couts)
+            cin = sum(_walk_convs(br, cin, out) for br in node[1])
         # pools keep channels
+    return cin
+
+
+def iter_convs(spec=INCEPTION_V3_SPEC, cin=3):
+    """(name, cin, cout, kernel, stride, pad) in topological order."""
+    out: list = []
+    _walk_convs(spec, cin, out)
+    return out
 
 
 def init_params(key) -> Dict[str, dict]:
