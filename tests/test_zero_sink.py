@@ -15,11 +15,12 @@ TINY = dict(model_channels=16, channel_mult=(1, 2), num_blocks=1,
 
 def test_sink_equals_materialized_zero_columns():
     B, S, H, D, NZ = 2, 16, 2, 8, 32
-    q = jax.random.normal(jax.random.PRNGKey(0), (B, S, H, D))
-    k = jax.random.normal(jax.random.PRNGKey(1), (B, S, H, D))
-    v = jax.random.normal(jax.random.PRNGKey(2), (B, S, H, D))
-    kz = jnp.concatenate([k, jnp.zeros((B, NZ, H, D))], axis=1)
-    vz = jnp.concatenate([v, jnp.zeros((B, NZ, H, D))], axis=1)
+    # [B, H, S, D] — the kernel's native layout.
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, H, S, D))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, H, S, D))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, H, S, D))
+    kz = jnp.concatenate([k, jnp.zeros((B, H, NZ, D))], axis=2)
+    vz = jnp.concatenate([v, jnp.zeros((B, H, NZ, D))], axis=2)
     want = reference_attention(q, kz, vz)
     got = attention_with_zero_sink(q, k, v, NZ)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),

@@ -96,10 +96,14 @@ def model_attention_shapes(ch, batch):
     return out
 
 
+STACK = 32  # attention applications per jitted program (amortizes the
+            # tunnel's unreliable sub-0.5ms timing floor)
+
+
 def section_attn_micro(ch, batch):
     from vivid_tpu.kernels.attention import fused_attention, reference_attention
     total = {"flash": 0.0, "einsum": 0.0}
-    print("\nattention micro (per site, x layers):")
+    print(f"\nattention micro (lax.scan stack of {STACK}, per-layer):")
     for label, b, sq, sk, h, n in model_attention_shapes(ch, batch):
         key = jax.random.PRNGKey(0)
         q = jax.random.normal(key, (b, sq, h, 64), jnp.bfloat16)
@@ -107,8 +111,13 @@ def section_attn_micro(ch, batch):
         v = jax.random.normal(jax.random.fold_in(key, 2), (b, sk, h, 64), jnp.bfloat16)
         row = f"  {label:>18} B={b:<3} Sq={sq:<5} Sk={sk:<5} H={h} x{n}:"
         for name, fn in (("flash", fused_attention), ("einsum", reference_attention)):
-            f = jax.jit(lambda q_, k_, v_: fn(q_, k_, v_, None).astype(q_.dtype))
-            dt = timed(f, q, k, v, n1=10, n2=50)
+            def stack(q_, k_, v_, _fn=fn):
+                def body(x, _):
+                    # feed output back as q so nothing is dead code
+                    return _fn(x, k_, v_, None).astype(x.dtype), ()
+                return jax.lax.scan(body, q_, None, length=STACK)[0]
+            f = jax.jit(stack)
+            dt = timed(f, q, k, v, n1=2, n2=8, reps=2) / STACK
             mm = 4 * b * h * sq * sk * 64  # QK^T + PV matmul flops
             row += f"  {name} {dt * 1e3:6.3f} ms ({mm / dt / 1e12:5.1f} TF/s)"
             total[name] += dt * n
@@ -119,33 +128,50 @@ def section_attn_micro(ch, batch):
 
 
 def section_block_micro(ch, batch):
+    """Full xattn block (convs + packing + attention + epilogues) per level,
+    as a jitted scan stack — multiply by layer counts to account for the
+    full-model attention region."""
     from vivid_tpu.nn.blocks import BlockConfig, block_apply, block_init
-    c = ch * 2
-    cfg = BlockConfig(in_channels=c, out_channels=c, emb_channels=ch * 4,
-                      flavor="enc", attention=True, xattn=True,
-                      num_cross_sources=2, channels_per_head=64)
-    params = block_init(jax.random.PRNGKey(0), cfg)
-    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16)
-                          if x.ndim >= 2 else x, params)
-    key = jax.random.PRNGKey(1)
-    x = jax.random.normal(key, (batch, 32, 32, c), jnp.bfloat16)
-    emb = jax.random.normal(jax.random.fold_in(key, 1), (batch, ch * 4), jnp.bfloat16)
-    f1 = jax.random.normal(jax.random.fold_in(key, 2), (batch, 32, 32, c), jnp.bfloat16)
-    f2 = jax.random.normal(jax.random.fold_in(key, 3), (batch, 32, 32, c), jnp.bfloat16)
+    print(f"\nxattn block stacks of {STACK} (per-layer):")
+    for res, mult, n_layers in ((32, 2, 2), (16, 3, 7), (8, 4, 10)):
+        c = ch * mult
+        cfg = BlockConfig(in_channels=c, out_channels=c, emb_channels=ch * 4,
+                          flavor="enc", attention=True, xattn=True,
+                          num_cross_sources=2, channels_per_head=64)
+        params = block_init(jax.random.PRNGKey(0), cfg)
+        params = jax.tree.map(lambda x: x.astype(jnp.bfloat16)
+                              if x.ndim >= 2 else x, params)
+        key = jax.random.PRNGKey(1)
+        x = jax.random.normal(key, (batch, res, res, c), jnp.bfloat16)
+        emb = jax.random.normal(jax.random.fold_in(key, 1), (batch, ch * 4),
+                                jnp.bfloat16)
+        f1 = jax.random.normal(jax.random.fold_in(key, 2), (batch, res, res, c),
+                               jnp.bfloat16)
+        f2 = jax.random.normal(jax.random.fold_in(key, 3), (batch, res, res, c),
+                               jnp.bfloat16)
 
-    full = jax.jit(lambda p, x_: block_apply(p, cfg, x_, emb, features=[f1, f2]))
-    dt = timed(full, params, x, n1=10, n2=50, chain_arg=1)
-    print(f"\nxattn block r32 (full): {dt * 1e3:.3f} ms "
-          f"({flops_of(full, params, x) / dt / 1e12:.1f} TF/s)")
+        def make(block_cfg, p):
+            def stack(p_, x_):
+                def body(h, _):
+                    feats = [f1, f2] if block_cfg.xattn else None
+                    return block_apply(p_, block_cfg, h, emb,
+                                       features=feats).astype(h.dtype), ()
+                return jax.lax.scan(body, x_, None, length=STACK)[0]
+            return jax.jit(stack)
 
-    ncfg = BlockConfig(in_channels=c, out_channels=c, emb_channels=ch * 4,
-                       flavor="enc", attention=False)
-    nparams = {k: v for k, v in params.items()
-               if k in ("emb_gain", "conv_res0", "emb_linear", "conv_res1")}
-    noattn = jax.jit(lambda p, x_: block_apply(p, ncfg, x_, emb))
-    dt2 = timed(noattn, nparams, x, n1=10, n2=50, chain_arg=1)
-    print(f"xattn block r32 (conv part only): {dt2 * 1e3:.3f} ms "
-          f"-> attention region = {(dt - dt2) * 1e3:.3f} ms")
+        full = make(cfg, params)
+        dt = timed(full, params, x, n1=2, n2=8, reps=2, chain_arg=1) / STACK
+        fl = flops_of(full, params, x) / STACK
+        ncfg = BlockConfig(in_channels=c, out_channels=c, emb_channels=ch * 4,
+                           flavor="enc", attention=False)
+        nparams = {k: v for k, v in params.items()
+                   if k in ("emb_gain", "conv_res0", "emb_linear", "conv_res1")}
+        noattn = make(ncfg, nparams)
+        dt2 = timed(noattn, nparams, x, n1=2, n2=8, reps=2, chain_arg=1) / STACK
+        print(f"  r{res:<3} C={c:<4} x{n_layers:<3}: full {dt * 1e3:6.3f} ms "
+              f"({fl / dt / 1e12:5.1f} TF/s) | conv-part {dt2 * 1e3:6.3f} ms "
+              f"| attn region {(dt - dt2) * 1e3:6.3f} ms "
+              f"(x{n_layers} = {(dt - dt2) * n_layers * 1e3:6.2f} ms)")
 
 
 def main():

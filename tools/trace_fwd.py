@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Op-level TPU trace of the benchmark forward (the real profile VERDICT r1
+asked for). Captures jax.profiler through the axon tunnel, parses the
+trace.json.gz device timeline, and prints per-op time grouped by HLO name
+prefix.
+
+Usage: python tools/trace_fwd.py [--ch 64] [--batch 16] [--what fwd|train|sample]
+"""
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_comp_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+
+def capture(fn, args, iters=8, outdir="/tmp/vivid_trace"):
+    o = fn(*args)  # compile + warm
+    np.asarray(jax.tree.leaves(o)[0]).ravel()[0]
+    with jax.profiler.trace(outdir):
+        o = fn(*args)
+        for _ in range(iters - 1):
+            o = fn(*args)
+        np.asarray(jax.tree.leaves(o)[0]).ravel()[0]
+    traces = sorted(glob.glob(os.path.join(outdir, "plugins/profile/*/"
+                                           "*.trace.json.gz")),
+                    key=os.path.getmtime)
+    return traces[-1]
+
+
+def analyze(path, iters, top=40):
+    d = json.load(gzip.open(path))
+    ev = d["traceEvents"]
+    tpu_pids = {e["pid"] for e in ev
+                if e.get("ph") == "M" and e.get("name") == "process_name"
+                and "TPU" in str(e.get("args", {}).get("name", ""))}
+    per_op = collections.Counter()
+    per_cat = collections.Counter()
+    total = 0.0
+    for e in ev:
+        if e.get("ph") == "X" and e.get("pid") in tpu_pids and "dur" in e:
+            name = e.get("name", "?")
+            per_op[name] += e["dur"]
+            total += e["dur"]
+            # Category = opcode-ish prefix of the HLO name.
+            cat = re.split(r"[.\d]", name, 1)[0]
+            per_cat[cat] += e["dur"]
+    print(f"\nTPU device time: {total / 1e3 / iters:.3f} ms/iter "
+          f"({total / 1e3:.1f} ms over {iters})")
+    print("\nby opcode family:")
+    for name, dur in per_cat.most_common(20):
+        print(f"  {dur / total * 100:5.1f}%  {dur / 1e3 / iters:8.3f} ms  {name}")
+    print(f"\ntop {top} ops:")
+    for name, dur in per_op.most_common(top):
+        print(f"  {dur / total * 100:5.1f}%  {dur / 1e3 / iters:8.3f} ms  {name[:110]}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ch", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--trace", default=None,
+                    help="analyze an existing trace.json.gz instead")
+    args = ap.parse_args()
+    if args.trace:
+        analyze(args.trace, args.iters)
+        return
+
+    from vivid_tpu.nn.precond import PrecondConfig, precond_apply, precond_init
+    cfg = PrecondConfig(img_resolution=64, num_sources=2,
+                        model_channels=args.ch, extra_attn=1, use_bf16=True,
+                        remat=False)
+    params = precond_init(jax.random.PRNGKey(0), cfg)
+    key = jax.random.PRNGKey(1)
+    b = args.batch
+    src = jax.random.normal(key, (b, 2, 64, 64, 3))
+    dst = jax.random.normal(jax.random.fold_in(key, 1), (b, 64, 64, 3))
+    sigma = jnp.exp(jax.random.normal(jax.random.fold_in(key, 2), (b,)))
+    geometry = jax.random.normal(jax.random.fold_in(key, 3), (b, 2, 20))
+    fwd = jax.jit(lambda p, s, d, sg, g: precond_apply(p, cfg, s, d, sg, g))
+    path = capture(fwd, (params, src, dst, sigma, geometry), iters=args.iters)
+    print("trace:", path)
+    analyze(path, args.iters)
+
+
+if __name__ == "__main__":
+    main()

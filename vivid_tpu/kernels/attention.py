@@ -11,9 +11,10 @@ the win is avoiding the [B,H,S,Sk] fp32 logit round-trip through HBM.
   * otherwise -> einsum + softmax (XLA fuses fine at tiny sizes; also the
     CPU/test path).
 
-Layouts: q [B, Sq, H, D]; k/v [B, Sk, H, D]; bias [B, H, Sq, Sk] or None.
-Returns [B, Sq, H, D] in v.dtype. Numerics match the einsum path to bf16
-tolerance (fp32 softmax in both).
+Layouts: q [B, H, Sq, D]; k/v [B, H, Sk, D]; bias [B, H, Sq, Sk] or None —
+the flash kernel's native layout, produced directly by the blocks' packed
+qkv split (no transposes on the hot path). Returns [B, H, Sq, D] in v.dtype.
+Numerics match the einsum path to bf16 tolerance (fp32 softmax in both).
 """
 
 import functools
@@ -25,13 +26,13 @@ import jax.numpy as jnp
 
 def reference_attention(q, k, v, bias=None):
     d = q.shape[-1]
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                         preferred_element_type=jnp.float32) / jnp.sqrt(
                             jnp.asarray(d, jnp.float32))
     if bias is not None:
         logits = logits + bias.astype(logits.dtype)
     probs = jax.nn.softmax(logits, axis=-1)
-    return jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
 
 
 @functools.lru_cache(maxsize=1)
@@ -57,7 +58,7 @@ def _use_pallas(q, k) -> bool:
         return False
     if jax.devices()[0].platform != "tpu":
         return False
-    sq, sk = q.shape[1], k.shape[1]
+    sq, sk = q.shape[2], k.shape[2]
     # Pallas pays off once the logit matrix stops being tiny; block machinery
     # needs 128-multiple divisors of both sequence lengths.
     return (sq >= 256 and sk >= 256
@@ -68,12 +69,9 @@ def fused_attention(q, k, v, bias: Optional[jax.Array] = None):
     if not _use_pallas(q, k):
         return reference_attention(q, k, v, bias)
     flash_attention, BlockSizes = _flash()
-    b, sq, h, d = q.shape
-    sk = k.shape[1]
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
     scale = 1.0 / (d ** 0.5)
-    qT = jnp.swapaxes(q, 1, 2)  # [B, H, S, D]
-    kT = jnp.swapaxes(k, 1, 2)
-    vT = jnp.swapaxes(v, 1, 2)
     block_q = _largest_block(sq, 512)
     block_k = _largest_block(sk, 1024)
     sizes = BlockSizes(
@@ -87,5 +85,5 @@ def fused_attention(q, k, v, bias: Optional[jax.Array] = None):
     # The flash kernel computes (q k^T + ab) * sm_scale; our contract is
     # q k^T * scale + bias, so pre-divide the bias by the scale.
     ab = (bias.astype(jnp.float32) / scale) if bias is not None else None
-    out = flash_attention(qT, kT, vT, ab=ab, sm_scale=scale, block_sizes=sizes)
-    return jnp.swapaxes(out, 1, 2).astype(v.dtype)
+    out = flash_attention(q, k, v, ab=ab, sm_scale=scale, block_sizes=sizes)
+    return out.astype(v.dtype)

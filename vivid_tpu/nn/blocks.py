@@ -19,8 +19,10 @@ per cross source in dual-source mode.
 """
 
 from dataclasses import dataclass, field
+from functools import lru_cache
 from typing import List, Optional, Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -75,19 +77,50 @@ def block_init(key, cfg: BlockConfig) -> dict:
     return params
 
 
+@lru_cache(maxsize=None)
+def _qkv_perm(num_heads: int, d: int, parts: int) -> np.ndarray:
+    """Output-channel permutation from the reference qkv packing
+    c_ref = head*(D*parts) + d*parts + part  (torch view(B,H,D,parts,S))
+    to the layout-friendly internal packing
+    c_int = part*(heads*D) + head*D + d.
+    Stored/imported weights keep the reference order (the weight-import
+    contract); the permutation is applied to the normalized weight at apply
+    time — a pure relabeling of conv output channels, numerics identical.
+    Without it, the stride-`parts` channel slices forced XLA to materialize
+    whole-tensor layout copies around every attention block (35% of the
+    profiled forward was `copy`)."""
+    idx = np.arange(num_heads * d * parts).reshape(num_heads, d, parts)
+    return idx.transpose(2, 0, 1).reshape(-1)
+
+
+def _packed_qkv_conv(params_conv, x, num_heads, parts):
+    """Apply the qkv/kv conv with output channels permuted to the internal
+    (part, head, d) packing."""
+    d = params_conv["w"].shape[-1] // (num_heads * parts)
+    w = {"w": params_conv["w"][..., _qkv_perm(num_heads, d, parts)]}
+    return mp_conv_apply(w, x)
+
+
 def _split_qkv(qkv, num_heads, parts):
-    """[B, H, W, parts*C] -> tuple of `parts` tensors [B, S, heads, D], with the
-    torch view(B, heads, D, parts, S) channel decomposition and per-(token,
-    head, part) normalization over D."""
+    """Internal-packed [B, H, W, parts*C] -> tuple of `parts` tensors
+    [B, heads, S, D] with per-(token, head, part) normalization over D.
+    One transpose to the attention layout FIRST, then normalize — XLA fuses
+    the fp32 RMS-normalize into the transpose pass, and the part slices come
+    out as contiguous [B, H, S, D] blocks in the kernels' native layout
+    (slicing/normalizing in conv layout forced whole-tensor layout copies
+    around every attention block; a hand-written Pallas prep kernel measured
+    no better than this fused XLA form)."""
     b, h, w, _ = qkv.shape
     d = qkv.shape[-1] // (num_heads * parts)
-    y = qkv.reshape(b, h * w, num_heads, d, parts)
-    y = normalize(y, axis=3)
-    return tuple(y[..., i] for i in range(parts))
+    y = qkv.reshape(b, h * w, parts * num_heads, d)
+    y = jnp.swapaxes(y, 1, 2)                    # [B, P*H, S, D]
+    y = normalize(y, axis=-1)
+    y = y.reshape(b, parts, num_heads, h * w, d)
+    return tuple(y[:, i] for i in range(parts))
 
 
 def attention(q, k, v, bias=None):
-    """q: [B, Sq, H, D], k/v: [B, Sk, H, D] -> [B, Sq, H, D]. fp32 softmax;
+    """q: [B, H, Sq, D], k/v: [B, H, Sk, D] -> [B, H, Sq, D]. fp32 softmax;
     dispatches to the Pallas flash kernel on TPU (kernels/attention.py)."""
     from vivid_tpu.kernels.attention import fused_attention
     return fused_attention(q, k, v, bias)
@@ -98,16 +131,17 @@ def attention_with_zero_sink(q, k, v, num_zero_cols: int):
     every zero column contributes logit 0 (zero keys) and value 0, i.e. a
     constant probability sink of mass num_zero_cols * exp(-m). Exactly equals
     materializing the zero KV columns (the unconditional model's cross
-    features, models.py:727-736) at a third of the attention FLOPs."""
+    features, models.py:727-736) at a third of the attention FLOPs.
+    Layout: [B, H, S, D] like `attention`."""
     d = q.shape[-1]
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                         preferred_element_type=jnp.float32) / jnp.sqrt(
                             jnp.asarray(d, jnp.float32))
     m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), 0.0)
     e = jnp.exp(logits - m)
     z = jnp.sum(e, axis=-1, keepdims=True) + num_zero_cols * jnp.exp(-m)
     probs = e / z
-    return jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
 
 
 def block_apply(params: dict, cfg: BlockConfig, x, emb,
@@ -139,7 +173,7 @@ def block_apply(params: dict, cfg: BlockConfig, x, emb,
     # Attention.
     if cfg.num_heads != 0:
         b, h, w, ch = x.shape
-        qkv = mp_conv_apply(params["attn_qkv"], x)
+        qkv = _packed_qkv_conv(params["attn_qkv"], x, cfg.num_heads, 3)
         q, k, v = _split_qkv(qkv, cfg.num_heads, 3)
 
         bias = None
@@ -148,7 +182,7 @@ def block_apply(params: dict, cfg: BlockConfig, x, emb,
             # closed-form sink instead of materializing 2S zero KV columns.
             y = attention_with_zero_sink(q, k, v,
                                          cfg.num_cross_sources * h * w)
-            y = y.reshape(b, h, w, ch)
+            y = jnp.swapaxes(y, 1, 2).reshape(b, h, w, ch)
             y = mp_conv_apply(params["attn_proj"], y)
             x = mp_sum(x, y, t=cfg.attn_balance)
             if cfg.clip_act is not None:
@@ -158,13 +192,14 @@ def block_apply(params: dict, cfg: BlockConfig, x, emb,
             assert features is not None and len(features) == cfg.num_cross_sources
             ks, vs = [k], [v]
             for feat in features:
-                kv = mp_conv_apply(params["x_attn_kv"], feat.astype(x.dtype))
+                kv = _packed_qkv_conv(params["x_attn_kv"], feat.astype(x.dtype),
+                                      cfg.num_heads, 2)
                 kc, vc = _split_qkv(kv, cfg.num_heads, 2)
                 ks.append(kc)
                 vs.append(vc)
-            s_self = k.shape[1]
-            k = jnp.concatenate(ks, axis=1)
-            v = jnp.concatenate(vs, axis=1)
+            s_self = k.shape[2]
+            k = jnp.concatenate(ks, axis=2)
+            v = jnp.concatenate(vs, axis=2)
             if "epipolar_mixing" in params and src_geometries is not None:
                 patch = cfg.imsize // h
                 biases = [jnp.zeros((b, cfg.num_heads, h * w, s_self), jnp.float32)]
@@ -175,7 +210,8 @@ def block_apply(params: dict, cfg: BlockConfig, x, emb,
                 bias = jnp.concatenate(biases, axis=-1)
 
         y = attention(q, k, v, bias=bias)
-        y = y.reshape(b, h, w, ch)  # (head, d) packing == torch channel order
+        # [B,H,S,D] -> [B,S,H*D]: (head, d) channel packing == torch order.
+        y = jnp.swapaxes(y, 1, 2).reshape(b, h, w, ch)
         y = mp_conv_apply(params["attn_proj"], y)
         x = mp_sum(x, y, t=cfg.attn_balance)
 
