@@ -174,6 +174,35 @@ def test_precond_inject_features_matches_encode():
 
 
 @pytest.mark.slow
+def test_scan_blocks_bitwise_equivalence():
+    """scan_blocks=True (lax.scan over equal-config block runs — the
+    compile-size lever) must reproduce the unrolled forward exactly, for
+    both the dual-source net and the uncond zero-sink path."""
+    import dataclasses
+    cfg = PrecondConfig(img_resolution=32, num_sources=2, model_channels=16,
+                        channel_mult=(1, 2), num_blocks=3,
+                        attn_resolutions=(16, 8), channels_per_head=8,
+                        extra_attn=1, use_bf16=False)
+    params = precond_init(jax.random.PRNGKey(0), cfg)
+    key = jax.random.PRNGKey(1)
+    b = 2
+    src = jax.random.normal(key, (b, 2, 32, 32, 3))
+    dst = jax.random.normal(jax.random.fold_in(key, 1), (b, 32, 32, 3))
+    sigma = jnp.exp(jax.random.normal(jax.random.fold_in(key, 2), (b,)))
+    geo = jax.random.normal(jax.random.fold_in(key, 3), (b, 2, 20))
+    o1 = precond_apply(params, cfg, src, dst, sigma, geo)
+    o2 = precond_apply(params, dataclasses.replace(cfg, scan_blocks=True),
+                       src, dst, sigma, geo)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+
+    ucfg = dataclasses.replace(cfg, uncond=True)
+    uparams = precond_init(jax.random.PRNGKey(2), ucfg)
+    u1 = precond_apply(uparams, ucfg, None, dst, sigma, None)
+    u2 = precond_apply(uparams, dataclasses.replace(ucfg, scan_blocks=True),
+                       None, dst, sigma, None)
+    np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))
+
+
 def test_param_count_parity_base_channels64():
     """The reference profile (visualize.json) reports NVPrecond at
     model_channels=64, dual-source: 62.67M params total, encoder 29.85M,

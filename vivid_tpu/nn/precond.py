@@ -56,6 +56,7 @@ class PrecondConfig:
     channels_per_head: int = 64
     dropout: float = 0.0
     remat: bool = True
+    scan_blocks: bool = False             # lax.scan over equal-config block runs
     force_wn: bool = False                # forced weight normalization (Eq. 66)
 
     def _unet_common(self):
@@ -73,6 +74,7 @@ class PrecondConfig:
             channels_per_head=self.channels_per_head,
             dropout=self.dropout,
             remat=self.remat,
+            scan_blocks=self.scan_blocks,
         )
 
     @property

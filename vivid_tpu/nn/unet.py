@@ -54,6 +54,8 @@ class UNetConfig:
     attn_balance: float = 0.3
     clip_act: Optional[float] = 256.0
     remat: bool = True                    # jax.checkpoint heavy blocks
+    scan_blocks: bool = False             # lax.scan over equal-config block
+                                          # runs (smaller HLO, faster compile)
 
     @property
     def cblock(self):
@@ -251,25 +253,88 @@ def unet_apply(params, cfg: UNetConfig, x, noise_labels, geometry,
             fn2 = jax.checkpoint(fn2)
         return fn2(params[entry.name], h, emb)
 
+    def split_runs(entries, is_dec):
+        """Maximal runs (len>=2) of identical-config blocks with a uniform
+        skip pattern — one lax.scan instance each instead of n inlined block
+        copies (compile-size lever; numerics identical)."""
+        runs, i = [], 0
+        while i < len(entries):
+            e, j = entries[i], i + 1
+            if cfg.scan_blocks and e.kind == "block" and (
+                    not is_dec or "_block" in e.name):
+                while (j < len(entries) and entries[j].kind == "block"
+                       and entries[j].block == e.block
+                       and entries[j].in_channels == e.in_channels
+                       and (not is_dec or "_block" in entries[j].name)):
+                    j += 1
+            runs.append(entries[i:j])
+            i = j
+        return runs
+
+    def scan_run(run, h, is_dec, skips):
+        bcfg = run[0].block
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
+                               *[params[e.name] for e in run])
+        feats = (jnp.stack([next(feat_iter) for _ in run])
+                 if bcfg.xattn and not zeros_mode else None)
+        use_dk = dropout_keys is not None and train and bcfg.dropout > 0
+        dks = jnp.stack([next(dropout_keys) for _ in run]) if use_dk else None
+        skips_in = (jnp.stack([skips.pop() for _ in run])
+                    if is_dec else None)
+
+        def body(hh, xs):
+            p, ft, dk, sk = xs
+            if sk is not None:
+                hh = mp_cat(hh, sk, axis=-1, t=cfg.concat_balance)
+            if bcfg.xattn and zeros_mode:
+                fl = "zeros"
+            elif ft is not None:
+                fl = [ft[:, i] for i in range(cfg.num_cross_sources)]
+            else:
+                fl = None
+            out = block_apply(p, bcfg, hh, emb, features=fl,
+                              src_geometries=src_geometries, train=train,
+                              dropout_key=dk)
+            return out, out
+
+        if cfg.remat and (is_dec or cfg.kind == "encoder"):
+            body = jax.checkpoint(body)
+        return jax.lax.scan(body, h, (stacked, feats, dks, skips_in))
+
     # Encoder.
     h = jnp.concatenate([x, jnp.ones_like(x[..., :1])], axis=-1)
     skips = []
-    for e in enc:
-        if e.kind == "conv":
-            h = mp_conv_apply(params[e.name], h)
+    for run in split_runs(enc, is_dec=False):
+        if len(run) == 1:
+            e = run[0]
+            if e.kind == "conv":
+                h = mp_conv_apply(params[e.name], h)
+            else:
+                h = run_block(e, h)
+            if (cfg.kind == "encoder" and e.block is not None
+                    and e.block.num_heads > 0):
+                collected.append(h)
+            skips.append(h)
         else:
-            h = run_block(e, h)
-        if cfg.kind == "encoder" and e.block is not None and e.block.num_heads > 0:
-            collected.append(h)
-        skips.append(h)
+            h, ys = scan_run(run, h, is_dec=False, skips=skips)
+            for i, e in enumerate(run):
+                if cfg.kind == "encoder" and e.block.num_heads > 0:
+                    collected.append(ys[i])
+                skips.append(ys[i])
 
     # Decoder.
-    for e in dec:
-        if "_block" in e.name:
-            h = mp_cat(h, skips.pop(), axis=-1, t=cfg.concat_balance)
-        h = run_block(e, h)
-        if cfg.kind == "encoder" and e.block.num_heads > 0:
-            collected.append(h)
+    for run in split_runs(dec, is_dec=True):
+        if len(run) == 1:
+            e = run[0]
+            if "_block" in e.name:
+                h = mp_cat(h, skips.pop(), axis=-1, t=cfg.concat_balance)
+            h = run_block(e, h)
+            if cfg.kind == "encoder" and e.block.num_heads > 0:
+                collected.append(h)
+        else:
+            h, ys = scan_run(run, h, is_dec=True, skips=skips)
+            if cfg.kind == "encoder" and run[0].block.num_heads > 0:
+                collected.extend(ys[i] for i in range(len(run)))
 
     if cfg.kind == "encoder":
         return collected
