@@ -203,6 +203,36 @@ def test_scan_blocks_bitwise_equivalence():
     np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))
 
 
+def test_scan_blocks_grad_equivalence():
+    """Gradients through the scanned runs must match the unrolled graph
+    (protects training with scan_blocks=True)."""
+    import dataclasses
+    cfg = PrecondConfig(img_resolution=16, num_sources=2, model_channels=16,
+                        channel_mult=(1, 2), num_blocks=2,
+                        attn_resolutions=(8,), channels_per_head=8,
+                        use_bf16=False, remat=True)
+    params = precond_init(jax.random.PRNGKey(0), cfg)
+    key = jax.random.PRNGKey(1)
+    b = 2
+    src = jax.random.normal(key, (b, 2, 16, 16, 3))
+    dst = jax.random.normal(jax.random.fold_in(key, 1), (b, 16, 16, 3))
+    sigma = jnp.exp(jax.random.normal(jax.random.fold_in(key, 2), (b,)))
+    geo = jax.random.normal(jax.random.fold_in(key, 3), (b, 2, 20))
+
+    def loss(p, c):
+        return jnp.sum(precond_apply(p, c, src, dst, sigma, geo) ** 2)
+
+    g1 = jax.grad(loss)(params, cfg)
+    g2 = jax.grad(loss)(params, dataclasses.replace(cfg, scan_blocks=True))
+    for (p1, l1), (p2, l2) in zip(
+            jax.tree_util.tree_flatten_with_path(g1)[0],
+            jax.tree_util.tree_flatten_with_path(g2)[0]):
+        assert p1 == p2
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                                   rtol=1e-5, atol=1e-6,
+                                   err_msg=jax.tree_util.keystr(p1))
+
+
 def test_param_count_parity_base_channels64():
     """The reference profile (visualize.json) reports NVPrecond at
     model_channels=64, dual-source: 62.67M params total, encoder 29.85M,

@@ -28,6 +28,23 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 
+def hlo_source_map(compiled):
+    """HLO op name -> (shape, source_file:line) from the compiled module."""
+    out = {}
+    for line in compiled.as_text().splitlines():
+        ls = line.strip().lstrip("%")
+        if " = " not in ls:
+            continue
+        name = ls.split(" = ")[0].strip()
+        shape = ls.split(" = ")[1].split(" ")[0]
+        src = ""
+        m = re.search(r'source_file="([^"]+)"[^}]*?source_line=(\d+)', ls)
+        if m:
+            src = f"{os.path.basename(m.group(1))}:{m.group(2)}"
+        out[name] = (shape, src)
+    return out
+
+
 def capture(fn, args, iters=8, outdir="/tmp/vivid_trace"):
     o = fn(*args)  # compile + warm
     np.asarray(jax.tree.leaves(o)[0]).ravel()[0]
@@ -42,7 +59,7 @@ def capture(fn, args, iters=8, outdir="/tmp/vivid_trace"):
     return traces[-1]
 
 
-def analyze(path, iters, top=40):
+def analyze(path, iters, top=40, srcmap=None):
     d = json.load(gzip.open(path))
     ev = d["traceEvents"]
     tpu_pids = {e["pid"] for e in ev
@@ -50,6 +67,7 @@ def analyze(path, iters, top=40):
                 and "TPU" in str(e.get("args", {}).get("name", ""))}
     per_op = collections.Counter()
     per_cat = collections.Counter()
+    per_src = collections.Counter()
     total = 0.0
     for e in ev:
         if e.get("ph") == "X" and e.get("pid") in tpu_pids and "dur" in e:
@@ -59,14 +77,27 @@ def analyze(path, iters, top=40):
             # Category = opcode-ish prefix of the HLO name.
             cat = re.split(r"[.\d]", name, 1)[0]
             per_cat[cat] += e["dur"]
+            if srcmap and not name.startswith("jit"):
+                _, src = srcmap.get(name, ("", "?"))
+                per_src[src or "?"] += e["dur"]
     print(f"\nTPU device time: {total / 1e3 / iters:.3f} ms/iter "
           f"({total / 1e3:.1f} ms over {iters})")
     print("\nby opcode family:")
     for name, dur in per_cat.most_common(20):
         print(f"  {dur / total * 100:5.1f}%  {dur / 1e3 / iters:8.3f} ms  {name}")
+    if per_src:
+        inner = sum(per_src.values())
+        print("\nby source line (inner ops):")
+        for src, dur in per_src.most_common(30):
+            print(f"  {dur / inner * 100:5.1f}%  {dur / 1e3 / iters:8.3f} ms  {src}")
     print(f"\ntop {top} ops:")
     for name, dur in per_op.most_common(top):
-        print(f"  {dur / total * 100:5.1f}%  {dur / 1e3 / iters:8.3f} ms  {name[:110]}")
+        extra = ""
+        if srcmap and name in srcmap:
+            shape, src = srcmap[name]
+            extra = f"  {shape[:40]} {src}"
+        print(f"  {dur / total * 100:5.1f}%  {dur / 1e3 / iters:8.3f} ms  "
+              f"{name[:60]}{extra}")
 
 
 def main():
@@ -93,9 +124,11 @@ def main():
     sigma = jnp.exp(jax.random.normal(jax.random.fold_in(key, 2), (b,)))
     geometry = jax.random.normal(jax.random.fold_in(key, 3), (b, 2, 20))
     fwd = jax.jit(lambda p, s, d, sg, g: precond_apply(p, cfg, s, d, sg, g))
+    srcmap = hlo_source_map(
+        fwd.lower(params, src, dst, sigma, geometry).compile())
     path = capture(fwd, (params, src, dst, sigma, geometry), iters=args.iters)
     print("trace:", path)
-    analyze(path, args.iters)
+    analyze(path, args.iters, srcmap=srcmap)
 
 
 if __name__ == "__main__":
