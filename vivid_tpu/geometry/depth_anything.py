@@ -24,7 +24,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-LN_EPS = 1e-6
+from vivid_tpu.nn.dinov2 import (ViTConfig, expected_vit_shapes,
+                                 params_from_state_dict as vit_params,
+                                 vit_forward)
 
 
 @dataclass(frozen=True)
@@ -50,16 +52,6 @@ ENCODER_NAMES = {"small": "vits", "base": "vitb", "large": "vitl"}
 
 # ---------------------------------------------------------------------------
 # Primitives.
-
-def _layernorm(p, x):
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + LN_EPS) * p["g"] + p["b"]
-
-
-def _linear(p, x):
-    return x @ p["w"] + p["b"]
-
 
 def _conv(p, x, stride=1, padding="SAME"):
     y = jax.lax.conv_general_dilated(
@@ -96,50 +88,11 @@ def resize_bilinear_ac(x, out_hw):
 
 
 # ---------------------------------------------------------------------------
-# ViT backbone.
+# DPT head (the ViT backbone lives in vivid_tpu.nn.dinov2).
 
-def _vit_block(p, x, num_heads):
-    b, n, c = x.shape
-    d = c // num_heads
-    h = _layernorm(p["norm1"], x)
-    q = _linear(p["q"], h).reshape(b, n, num_heads, d)
-    k = _linear(p["k"], h).reshape(b, n, num_heads, d)
-    v = _linear(p["v"], h).reshape(b, n, num_heads, d)
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(d)
-    probs = jax.nn.softmax(logits, axis=-1)
-    attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, n, c)
-    x = x + _linear(p["proj"], attn) * p["ls1"]
-    h = _layernorm(p["norm2"], x)
-    h = _linear(p["fc2"], jax.nn.gelu(_linear(p["fc1"], h), approximate=False))
-    return x + h * p["ls2"]
-
-
-def _backbone_features(params, cfg: DAV2Config, x):
-    """x: [B, H, W, 3] normalized -> list of [B, N_patches, C] (layer-normed,
-    cls stripped) at cfg.layer_idx, in shallow->deep order."""
-    b = x.shape[0]
-    patches = _conv(params["patch_embed"], x, stride=cfg.patch_size,
-                    padding="VALID")
-    ph, pw = patches.shape[1:3]
-    tokens = patches.reshape(b, ph * pw, cfg.embed_dim)
-    cls = jnp.broadcast_to(params["cls_token"], (b, 1, cfg.embed_dim))
-    tokens = jnp.concatenate([cls, tokens], axis=1)
-    pos = params["pos_embed"]
-    assert pos.shape[0] == tokens.shape[1], (
-        f"pos_embed for {pos.shape[0]} tokens, got {tokens.shape[1]} — "
-        "input must match the trained 518x518 grid")
-    tokens = tokens + pos[None]
-    out = []
-    want = set(cfg.layer_idx)
-    for i in range(cfg.depth):
-        tokens = _vit_block(params["blocks"][i], tokens, cfg.num_heads)
-        if i in want:
-            out.append(_layernorm(params["norm"], tokens)[:, 1:])
-    return out, (ph, pw)
-
-
-# ---------------------------------------------------------------------------
-# DPT head.
+def _vit_cfg(cfg: DAV2Config) -> ViTConfig:
+    return ViTConfig(embed_dim=cfg.embed_dim, depth=cfg.depth,
+                     num_heads=cfg.num_heads, patch_size=cfg.patch_size)
 
 def _residual_unit(p, x):
     h = _conv(p["conv1"], jax.nn.relu(x))
@@ -149,7 +102,8 @@ def _residual_unit(p, x):
 
 def dav2_apply(params, cfg: DAV2Config, x):
     """[B, H, W, 3] normalized -> [B, H, W] metric depth."""
-    feats, (ph, pw) = _backbone_features(params, cfg, x)
+    feats, (ph, pw) = vit_forward(params, _vit_cfg(cfg), x,
+                                  out_indices=cfg.layer_idx)
 
     # Reassemble: tokens -> spatial maps at 4 scales (4x, 2x, 1x, 0.5x).
     maps = []
@@ -202,41 +156,11 @@ def _conv_p(sd, name, bias=True):
     return p
 
 
-def _lin_p(sd, name):
-    return {"w": _t(sd[f"{name}.weight"]).T, "b": _t(sd[f"{name}.bias"])}
-
-
-def _ln_p(sd, name):
-    return {"g": _t(sd[f"{name}.weight"]), "b": _t(sd[f"{name}.bias"])}
-
-
 def params_from_state_dict(sd, cfg: DAV2Config) -> dict:
     """Map the original DepthAnythingV2 checkpoint (pretrained.* ViT +
     depth_head.* DPT, torch layouts) into the functional param tree."""
-    c = cfg.embed_dim
-    blocks = []
-    for i in range(cfg.depth):
-        pre = f"pretrained.blocks.{i}"
-        qkv_w = _t(sd[f"{pre}.attn.qkv.weight"])   # [3C, C]
-        qkv_b = _t(sd[f"{pre}.attn.qkv.bias"])
-        blocks.append({
-            "norm1": _ln_p(sd, f"{pre}.norm1"),
-            "q": {"w": qkv_w[:c].T, "b": qkv_b[:c]},
-            "k": {"w": qkv_w[c:2 * c].T, "b": qkv_b[c:2 * c]},
-            "v": {"w": qkv_w[2 * c:].T, "b": qkv_b[2 * c:]},
-            "proj": _lin_p(sd, f"{pre}.attn.proj"),
-            "ls1": _t(sd[f"{pre}.ls1.gamma"]),
-            "norm2": _ln_p(sd, f"{pre}.norm2"),
-            "fc1": _lin_p(sd, f"{pre}.mlp.fc1"),
-            "fc2": _lin_p(sd, f"{pre}.mlp.fc2"),
-            "ls2": _t(sd[f"{pre}.ls2.gamma"]),
-        })
-    params = {
-        "cls_token": _t(sd["pretrained.cls_token"]).reshape(1, c),
-        "pos_embed": _t(sd["pretrained.pos_embed"])[0],
-        "patch_embed": _conv_p(sd, "pretrained.patch_embed.proj"),
-        "blocks": blocks,
-        "norm": _ln_p(sd, "pretrained.norm"),
+    params = vit_params(sd, _vit_cfg(cfg), prefix="pretrained.")
+    params.update({
         "projects": [_conv_p(sd, f"depth_head.projects.{i}")
                      for i in range(4)],
         # Transposed convs keep torch [Cin, Cout, k, k] layout.
@@ -254,7 +178,7 @@ def params_from_state_dict(sd, cfg: DAV2Config) -> dict:
             "conv2": _conv_p(sd, "depth_head.scratch.output_conv2.0"),
             "conv3": _conv_p(sd, "depth_head.scratch.output_conv2.2"),
         },
-    }
+    })
     for j in range(4):
         rn = f"depth_head.scratch.refinenet{4 - j}"
         entry = {
@@ -273,25 +197,7 @@ def expected_state_dict_shapes(cfg: DAV2Config, num_tokens: int = 1370):
     """The original checkpoint's key -> shape contract (used to synthesize
     stub checkpoints in tests and to validate real ones)."""
     c, f = cfg.embed_dim, cfg.features
-    sd = {
-        "pretrained.cls_token": (1, 1, c),
-        "pretrained.pos_embed": (1, num_tokens, c),
-        "pretrained.patch_embed.proj.weight": (c, 3, 14, 14),
-        "pretrained.patch_embed.proj.bias": (c,),
-        "pretrained.norm.weight": (c,), "pretrained.norm.bias": (c,),
-    }
-    for i in range(cfg.depth):
-        pre = f"pretrained.blocks.{i}"
-        sd.update({
-            f"{pre}.norm1.weight": (c,), f"{pre}.norm1.bias": (c,),
-            f"{pre}.attn.qkv.weight": (3 * c, c),
-            f"{pre}.attn.qkv.bias": (3 * c,),
-            f"{pre}.attn.proj.weight": (c, c), f"{pre}.attn.proj.bias": (c,),
-            f"{pre}.ls1.gamma": (c,), f"{pre}.ls2.gamma": (c,),
-            f"{pre}.norm2.weight": (c,), f"{pre}.norm2.bias": (c,),
-            f"{pre}.mlp.fc1.weight": (4 * c, c), f"{pre}.mlp.fc1.bias": (4 * c,),
-            f"{pre}.mlp.fc2.weight": (c, 4 * c), f"{pre}.mlp.fc2.bias": (c,),
-        })
+    sd = expected_vit_shapes(_vit_cfg(cfg), num_tokens, prefix="pretrained.")
     oc = cfg.out_channels
     for i in range(4):
         sd[f"depth_head.projects.{i}.weight"] = (oc[i], c, 1, 1)
@@ -305,8 +211,7 @@ def expected_state_dict_shapes(cfg: DAV2Config, num_tokens: int = 1370):
     sd["depth_head.resize_layers.3.bias"] = (oc[3],)
     for n in range(1, 5):
         rn = f"depth_head.scratch.refinenet{n}"
-        units = ("resConfUnit1", "resConfUnit2") if n != 4 else ("resConfUnit1", "resConfUnit2")
-        for u in units:
+        for u in ("resConfUnit1", "resConfUnit2"):
             sd[f"{rn}.{u}.conv1.weight"] = (f, f, 3, 3)
             sd[f"{rn}.{u}.conv1.bias"] = (f,)
             sd[f"{rn}.{u}.conv2.weight"] = (f, f, 3, 3)

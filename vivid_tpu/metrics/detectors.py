@@ -101,10 +101,35 @@ class JaxInceptionDetector(Detector):
                           np.float32)
 
 
+class JaxDINOv2Detector(Detector):
+    """Device-side FD-DINOv2 detector: the dinov2_vitl14 ViT in functional
+    JAX (nn/dinov2.py, HF-parity-tested), final-norm class token, loading the
+    torch-hub checkpoint file directly (no hub code execution). Preprocessing
+    (bicubic-224 antialias + ImageNet normalize) stays on torch CPU for
+    parity with the reference's resize kernel."""
+
+    def __init__(self):
+        super().__init__(feature_dim=1024)
+        from vivid_tpu.metrics.dinov2_jax import (find_checkpoint,
+                                                  load_dinov2_vitl14,
+                                                  make_feature_fn)
+        path = find_checkpoint(_weights_dir())
+        if path is None:
+            raise FileNotFoundError(
+                f"dinov2_vitl14_pretrain.pth not found under {_weights_dir()}"
+                " (torch_hub/checkpoints/). Download the DINOv2 ViT-L/14 "
+                "checkpoint into $VIVID_DETECTOR_DIR to compute FD-DINOv2.")
+        params, cfg = load_dinov2_vitl14(path)
+        self._features = make_feature_fn(params, cfg)
+
+    def __call__(self, x):
+        return self._features(x)
+
+
 class DINOv2Detector(Detector):
-    """FD-DINOv2 detector (1024-d), dinov2_vitl14 with bicubic 224 resize +
-    ImageNet normalization (calculate_metrics.py:56-84). Loaded through
-    torch.hub from the local hub cache."""
+    """Torch-CPU sidecar FD-DINOv2 detector (dinov2_vitl14 via torch.hub from
+    the local hub cache) — kept as the cross-check path; the metric specs use
+    JaxDINOv2Detector."""
 
     def __init__(self, resize_mode: str = "torch"):
         super().__init__(feature_dim=1024)
@@ -130,9 +155,9 @@ class DINOv2Detector(Detector):
 
 metric_specs = {
     "fid": EasyDict(detector_class=JaxInceptionDetector),
-    "fd_dinov2": EasyDict(detector_class=DINOv2Detector),
+    "fd_dinov2": EasyDict(detector_class=JaxDINOv2Detector),
     "joint_fid": EasyDict(detector_class=JaxInceptionDetector),
-    "joint_fd_dinov2": EasyDict(detector_class=DINOv2Detector),
+    "joint_fd_dinov2": EasyDict(detector_class=JaxDINOv2Detector),
     "psnr": EasyDict(),
     # Pipeline-testing metrics with the stub detector:
     "stub_fid": EasyDict(detector_class=StubDetector),
