@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Training-step benchmark: steady-state fused step (loss+grad+Adam+EMA)
+time on one chip. Usage: python tools/bench_train.py [--ch 64] [--batch 32]
+[--no-remat] [--flagship]"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_comp_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ch", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--no-remat", action="store_true")
+    ap.add_argument("--flagship", action="store_true",
+                    help="ch=128 with the production label dims")
+    args = ap.parse_args()
+
+    from vivid_tpu.diffusion.loss import NVLoss
+    from vivid_tpu.diffusion.phema import std_to_exp
+    from vivid_tpu.nn.precond import PrecondConfig, precond_init
+    from vivid_tpu.train.step import (TrainConfig, init_train_state,
+                                      make_train_step)
+
+    kw = dict(img_resolution=64, num_sources=2, extra_attn=1, use_bf16=True,
+              remat=not args.no_remat)
+    if args.flagship:
+        kw.update(model_channels=128, source_label_dim=20, target_label_dim=40)
+    else:
+        kw.update(model_channels=args.ch)
+    cfg = PrecondConfig(**kw)
+    params = precond_init(jax.random.PRNGKey(0), cfg)
+    n = sum(int(x.size) for x in jax.tree.leaves(params))
+    b = args.batch
+    tcfg = TrainConfig(batch_size=b, ref_lr=1e-3, rampup_Mimg=0, nimg_mult=6)
+    exps = tuple(float(std_to_exp(s) + 1) for s in tcfg.ema_stds)
+    step = jax.jit(make_train_step(NVLoss(P_mean=-0.8, P_std=1.6), cfg, tcfg,
+                                   exps), donate_argnums=0)
+    state = init_train_state(params, tcfg)
+    key = jax.random.PRNGKey(1)
+    batch = {"src": jax.random.normal(key, (b, 2, 64, 64, 3)),
+             "tgt": jax.random.normal(jax.random.fold_in(key, 1), (b, 64, 64, 3)),
+             "geometry": jax.random.normal(jax.random.fold_in(key, 2), (b, 2, 20))}
+
+    t0 = time.perf_counter()
+    state, st = step(state, batch, jax.random.PRNGKey(2))
+    float(st["Loss/loss"])
+    print(f"first step (incl. compile): {time.perf_counter() - t0:.1f}s",
+          flush=True)
+
+    def chain(iters):
+        nonlocal state
+        t0 = time.perf_counter()
+        st = None
+        for i in range(iters):
+            state, st = step(state, batch, jax.random.fold_in(key, i))
+        float(st["Loss/loss"])
+        return time.perf_counter() - t0
+
+    chain(2)
+    t1 = min(chain(3) for _ in range(2))
+    t2 = min(chain(13) for _ in range(2))
+    dt = (t2 - t1) / 10
+    print(f"train step ch={kw['model_channels']} b={b} "
+          f"remat={not args.no_remat} ({n / 1e6:.1f}M params): "
+          f"{dt * 1e3:.1f} ms = {b * 6 / dt:.0f} nimg/s "
+          f"({b / dt:.0f} pairs/s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -105,6 +105,7 @@ def main():
     ap.add_argument("--ch", type=int, default=64)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--what", default="fwd", choices=("fwd", "train"))
     ap.add_argument("--trace", default=None,
                     help="analyze an existing trace.json.gz instead")
     args = ap.parse_args()
@@ -113,20 +114,46 @@ def main():
         return
 
     from vivid_tpu.nn.precond import PrecondConfig, precond_apply, precond_init
-    cfg = PrecondConfig(img_resolution=64, num_sources=2,
-                        model_channels=args.ch, extra_attn=1, use_bf16=True,
-                        remat=False)
-    params = precond_init(jax.random.PRNGKey(0), cfg)
-    key = jax.random.PRNGKey(1)
     b = args.batch
-    src = jax.random.normal(key, (b, 2, 64, 64, 3))
-    dst = jax.random.normal(jax.random.fold_in(key, 1), (b, 64, 64, 3))
-    sigma = jnp.exp(jax.random.normal(jax.random.fold_in(key, 2), (b,)))
-    geometry = jax.random.normal(jax.random.fold_in(key, 3), (b, 2, 20))
-    fwd = jax.jit(lambda p, s, d, sg, g: precond_apply(p, cfg, s, d, sg, g))
-    srcmap = hlo_source_map(
-        fwd.lower(params, src, dst, sigma, geometry).compile())
-    path = capture(fwd, (params, src, dst, sigma, geometry), iters=args.iters)
+    key = jax.random.PRNGKey(1)
+    if args.what == "train":
+        from vivid_tpu.diffusion.loss import NVLoss
+        from vivid_tpu.diffusion.phema import std_to_exp
+        from vivid_tpu.train.step import (TrainConfig, init_train_state,
+                                          make_train_step)
+        cfg = PrecondConfig(img_resolution=64, num_sources=2,
+                            model_channels=args.ch, extra_attn=1,
+                            use_bf16=True, remat=True)
+        params = precond_init(jax.random.PRNGKey(0), cfg)
+        tcfg = TrainConfig(batch_size=b, ref_lr=1e-3, rampup_Mimg=0,
+                           nimg_mult=6)
+        exps = tuple(float(std_to_exp(s) + 1) for s in tcfg.ema_stds)
+        # NO donation: the traced fn is re-invoked with the same state.
+        step = jax.jit(make_train_step(NVLoss(P_mean=-0.8, P_std=1.6), cfg,
+                                       tcfg, exps))
+        state = init_train_state(params, tcfg)
+        batch = {"src": jax.random.normal(key, (b, 2, 64, 64, 3)),
+                 "tgt": jax.random.normal(jax.random.fold_in(key, 1),
+                                          (b, 64, 64, 3)),
+                 "geometry": jax.random.normal(jax.random.fold_in(key, 2),
+                                               (b, 2, 20))}
+        fn_args = (state, batch, jax.random.PRNGKey(2))
+        srcmap = hlo_source_map(step.lower(*fn_args).compile())
+        path = capture(step, fn_args, iters=args.iters)
+    else:
+        cfg = PrecondConfig(img_resolution=64, num_sources=2,
+                            model_channels=args.ch, extra_attn=1,
+                            use_bf16=True, remat=False)
+        params = precond_init(jax.random.PRNGKey(0), cfg)
+        src = jax.random.normal(key, (b, 2, 64, 64, 3))
+        dst = jax.random.normal(jax.random.fold_in(key, 1), (b, 64, 64, 3))
+        sigma = jnp.exp(jax.random.normal(jax.random.fold_in(key, 2), (b,)))
+        geometry = jax.random.normal(jax.random.fold_in(key, 3), (b, 2, 20))
+        fwd = jax.jit(lambda p, s, d, sg, g: precond_apply(p, cfg, s, d, sg, g))
+        srcmap = hlo_source_map(
+            fwd.lower(params, src, dst, sigma, geometry).compile())
+        path = capture(fwd, (params, src, dst, sigma, geometry),
+                       iters=args.iters)
     print("trace:", path)
     analyze(path, args.iters, srcmap=srcmap)
 

@@ -20,6 +20,11 @@ import jax.numpy as jnp
 
 
 # -- profile conversions (Eq. 123 / 126, Algorithm 2) -------------------------
+# These few functions are the *published* EDM2 equations (Karras et al. 2024,
+# "Analyzing and Improving the Training Dynamics of Diffusion Models", Eqs.
+# 121/126/127/151, Algorithms 2-3): numerical parity with reference-tracked
+# EMA profiles requires the exact formulas, so they necessarily match
+# training/phema.py up to spelling.
 
 def exp_to_std(exp):
     exp = np.asarray(exp, np.float64)
