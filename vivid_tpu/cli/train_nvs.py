@@ -78,6 +78,7 @@ def setup_training_config(preset="vivid-base", **opts):
     c.lr_kwargs = EasyDict(ref_lr=opts.lr, ref_batches=opts.decay)
     c.loss_scaling = opts.get("ls", 1)
     c.batch_gpu = opts.get("batch_gpu") or None
+    c.fsdp = bool(opts.get("fsdp"))
     c.sr_training = bool(opts.get("sr_training"))
     c.status_nimg = opts.get("status") or None
     c.samples_nimg = opts.get("samples") or None
@@ -152,6 +153,7 @@ def launch_training(run_dir, c):
 @click.option("--plain-mse", help="Plain MSE loss instead of learned variance (PLAIN_MSE)", is_flag=True)
 # Performance-related options.
 @click.option("--batch-gpu", help="Limit batch size per device (gradient accumulation)", metavar="NIMG", type=parse_nimg, default=None)
+@click.option("--fsdp", help="Shard params/optimizer/EMA state over the data axis (ZeRO-3)", is_flag=True)
 @click.option("--bf16", help="Enable bfloat16 compute", metavar="BOOL", type=bool, default=True, show_default=True)
 @click.option("--force-wn", help="Forced weight normalization (EDM2 Eq. 66)", metavar="BOOL", type=bool, default=False, show_default=True)
 @click.option("--remat", help="Rematerialize heavy blocks in backward (memory vs speed)", metavar="BOOL", type=bool, default=True, show_default=True)

@@ -1,17 +1,24 @@
 """Device mesh + sharding helpers.
 
 The reference's one parallelism strategy is data parallelism over NCCL DDP
-(SURVEY.md §2.9). Here the same strategy — plus headroom for tensor/sequence
-sharding — is expressed as a jax.sharding.Mesh:
+(SURVEY.md §2.9). Here the mesh carries two axes and three strategies:
 
   * axis "data"  — batch sharding (DDP equivalent); gradients are reduced by
     XLA-inserted psums when the loss is computed from a batch-sharded input.
-  * axis "model" — reserved for tensor/sequence sharding of the attention and
-    conv channel axes at larger scales (1 by default; all shardings below are
-    written against it so widening the axis is a mesh-shape change only).
+    `fsdp_shardings` additionally shards params/optimizer/EMA state over the
+    same axis (ZeRO-3 style): XLA all-gathers weights at use and
+    reduce-scatters gradients, cutting per-device state memory by the axis
+    size.
+  * axis "model" — tensor/sequence sharding of activations. `act_sharding`
+    is a trace-time context: while active, the U-Net blocks pin attention
+    heads (tensor parallel) and/or image rows (sequence/spatial parallel)
+    to this axis via with_sharding_constraint, and GSPMD partitions the
+    convs/einsums and inserts the collectives.
 """
 
 from contextlib import contextmanager
+from dataclasses import dataclass
+from typing import Optional
 
 import numpy as np
 import jax
@@ -66,3 +73,146 @@ def replicate(mesh: Mesh, tree):
 def use_mesh(mesh: Mesh):
     with mesh:
         yield mesh
+
+
+# ---------------------------------------------------------------------------
+# Activation sharding (tensor / sequence parallelism over the 'model' axis).
+
+@dataclass(frozen=True)
+class ActShardSpec:
+    mesh: Mesh
+    data: Optional[str] = "data"   # batch axis of activations
+    tp: Optional[str] = None       # tensor parallel: attention heads + conv channels
+    sp: Optional[str] = None       # sequence/spatial parallel: image rows
+
+
+_ACT_SPEC = [None]
+
+
+@contextmanager
+def act_sharding(mesh: Mesh, data: Optional[str] = "data",
+                 tp: Optional[str] = None, sp: Optional[str] = None):
+    """Enable activation-sharding constraints inside the U-Net blocks.
+
+    TRACE-TIME context: the constraints are baked in when a jitted function
+    is first traced, which happens at its first CALL — build AND first-call
+    jitted functions inside this context (a jit traced outside it will not
+    pick the constraints up, and one traced inside keeps them forever).
+
+    tp shards attention heads and conv channels over the named mesh axis
+    (per-device FLOPs drop by the axis size; GSPMD inserts the psums for the
+    channel contractions). sp shards image rows (GSPMD handles conv halo
+    exchange). Dims that are not divisible by the axis size are silently
+    left unsharded, so tiny levels degrade gracefully.
+    """
+    _ACT_SPEC.append(ActShardSpec(mesh, data, tp, sp))
+    try:
+        yield
+    finally:
+        _ACT_SPEC.pop()
+
+
+def _usable(spec: ActShardSpec, name: Optional[str], dim: int) -> Optional[str]:
+    if name is None:
+        return None
+    size = dict(zip(spec.mesh.axis_names, spec.mesh.devices.shape)).get(name, 1)
+    if size <= 1 or dim % size != 0:
+        return None
+    return name
+
+
+def tp_heads_sharded(q) -> bool:
+    """True when the active act_sharding context shards the head axis of
+    [B, heads, S, D] attention inputs (kernels dispatch on this: the Pallas
+    custom call is not GSPMD-partitionable, the einsum path is)."""
+    spec = _ACT_SPEC[-1]
+    return (spec is not None
+            and _usable(spec, spec.tp, q.shape[1]) is not None)
+
+
+def constrain(x, kind: str):
+    """Pin an activation's sharding if an act_sharding context is active.
+
+    kind='conv' : [B, H, W, C] -> P(data, sp, None, tp)
+    kind='heads': [B, heads, S, D] -> P(data, tp, None, None)
+
+    No-op outside a context, for non-rank-4 tensors, and when neither tp nor
+    sp applies (pinning only the batch axis would just restate what GSPMD
+    propagates from the sharded inputs)."""
+    spec = _ACT_SPEC[-1]
+    if spec is None or x.ndim != 4:
+        return x
+    if kind == "conv":
+        parts = (_usable(spec, spec.data, x.shape[0]),
+                 _usable(spec, spec.sp, x.shape[1]), None,
+                 _usable(spec, spec.tp, x.shape[3]))
+    elif kind == "heads":
+        parts = (_usable(spec, spec.data, x.shape[0]),
+                 _usable(spec, spec.tp, x.shape[1]), None, None)
+    else:
+        raise ValueError(f"unknown constraint kind {kind!r}")
+    if all(p is None for p in parts[1:]):
+        return x
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(spec.mesh, P(*parts)))
+
+
+# ---------------------------------------------------------------------------
+# FSDP / ZeRO-3: shard every train-state leaf over a mesh axis.
+
+def fsdp_spec(shape, axis: str, size: int, min_size: int = 2 ** 13) -> P:
+    """PartitionSpec sharding the largest axis-divisible dim of `shape` over
+    `axis`; replicated for small or non-divisible leaves (scalars, gains,
+    Fourier buffers)."""
+    if int(np.prod(shape, initial=1)) < min_size:
+        return P()
+    cands = [(dim, i) for i, dim in enumerate(shape) if dim % size == 0 and dim >= size]
+    if not cands:
+        return P()
+    _, i = max(cands)
+    parts = [None] * len(shape)
+    parts[i] = axis
+    return P(*parts)
+
+
+def fsdp_shardings(mesh: Mesh, tree, axis: str = "data", min_size: int = 2 ** 13):
+    """Per-leaf NamedShardings for ZeRO-3-style state sharding. Apply the
+    same tree to params, Adam moments and EMA trees so the whole train state
+    shrinks by the axis size; XLA all-gathers weights where the forward needs
+    them and reduce-scatters the gradients."""
+    size = dict(zip(mesh.axis_names, mesh.devices.shape))[axis]
+    return jax.tree.map(
+        lambda x: NamedSharding(mesh, fsdp_spec(np.shape(x), axis, size, min_size)),
+        tree)
+
+
+def shard_tree(tree, shardings):
+    """Place a host-side tree according to per-leaf shardings. Multi-process:
+    every process holds the full value (params/optimizer state are built
+    identically everywhere), so make_array_from_callback slices out the
+    local shards."""
+    if jax.process_count() == 1:
+        return jax.tree.map(jax.device_put, tree, shardings)
+    return jax.tree.map(
+        lambda x, s: jax.make_array_from_callback(
+            np.shape(x), s, lambda idx, _x=x: np.asarray(_x)[idx]),
+        tree, shardings)
+
+
+_UNSHARD_CACHE = {}
+
+
+def unshard_tree(mesh: Mesh, tree):
+    """Reshard a (possibly FSDP-sharded) tree to fully-replicated — a
+    compiled all-gather, valid in multi-process runs — so hosts can read the
+    leaves (snapshots, checkpoints, consistency checks). The compiled
+    gather is cached per (mesh, tree structure) so periodic saves don't
+    recompile."""
+    leaves, treedef = jax.tree.flatten(tree)
+    key = (mesh, treedef, tuple((x.shape, str(x.dtype)) for x in leaves))
+    fn = _UNSHARD_CACHE.get(key)
+    if fn is None:
+        sh = [NamedSharding(mesh, P())] * len(leaves)
+        fn = jax.jit(lambda ls: ls, out_shardings=sh)
+        _UNSHARD_CACHE[key] = fn
+    return jax.tree.unflatten(treedef, fn(leaves))

@@ -58,6 +58,11 @@ def _use_pallas(q, k) -> bool:
         return False
     if jax.devices()[0].platform != "tpu":
         return False
+    from vivid_tpu.core.sharding import tp_heads_sharded
+    if tp_heads_sharded(q):
+        # GSPMD cannot partition the Pallas custom call over the head axis;
+        # the einsum path partitions cleanly under tensor parallelism.
+        return False
     sq, sk = q.shape[2], k.shape[2]
     # Pallas pays off once the logit matrix stops being tiny; block machinery
     # needs 128-multiple divisors of both sequence lengths.

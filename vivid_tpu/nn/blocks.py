@@ -26,6 +26,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from vivid_tpu.core.sharding import constrain
 from vivid_tpu.geometry.epipolar import get_epipolar_dist, get_epipolar_attn
 from vivid_tpu.nn.mp import (mp_conv_apply, mp_conv_init, mp_silu, mp_sum,
                              normalize, resample)
@@ -149,8 +150,13 @@ def block_apply(params: dict, cfg: BlockConfig, x, emb,
                 src_geometries: Optional[List[jax.Array]] = None,
                 train: bool = False, dropout_key=None):
     """x: [B, H, W, Cin]; emb: [B, cemb]; features: list of [B, h, w, Cout]
-    cross-attention sources (xattn only)."""
+    cross-attention sources (xattn only).
+
+    Under an active core.sharding.act_sharding context the block pins its
+    activations to the mesh (tensor parallel: conv channels + attention
+    heads; sequence parallel: image rows) — no-ops otherwise."""
     x = resample(x, cfg.resample_mode)
+    x = constrain(x, "conv")
     if cfg.flavor == "enc":
         if "conv_skip" in params:
             x = mp_conv_apply(params["conv_skip"], x)
@@ -174,7 +180,8 @@ def block_apply(params: dict, cfg: BlockConfig, x, emb,
     if cfg.num_heads != 0:
         b, h, w, ch = x.shape
         qkv = _packed_qkv_conv(params["attn_qkv"], x, cfg.num_heads, 3)
-        q, k, v = _split_qkv(qkv, cfg.num_heads, 3)
+        q, k, v = (constrain(t, "heads")
+                   for t in _split_qkv(qkv, cfg.num_heads, 3))
 
         bias = None
         if cfg.xattn and features == "zeros":
@@ -195,8 +202,8 @@ def block_apply(params: dict, cfg: BlockConfig, x, emb,
                 kv = _packed_qkv_conv(params["x_attn_kv"], feat.astype(x.dtype),
                                       cfg.num_heads, 2)
                 kc, vc = _split_qkv(kv, cfg.num_heads, 2)
-                ks.append(kc)
-                vs.append(vc)
+                ks.append(constrain(kc, "heads"))
+                vs.append(constrain(vc, "heads"))
             s_self = k.shape[2]
             k = jnp.concatenate(ks, axis=2)
             v = jnp.concatenate(vs, axis=2)

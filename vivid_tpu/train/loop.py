@@ -27,7 +27,7 @@ from vivid_tpu.core.checkpoint import CheckpointIO, latest_checkpoint
 from vivid_tpu.core.easydict import EasyDict
 from vivid_tpu.core.logger import format_time
 from vivid_tpu.core.rngs import base_key, step_key
-from vivid_tpu.core.sharding import make_mesh, replicate, shard_batch
+from vivid_tpu.core.sharding import make_mesh, shard_batch
 from vivid_tpu.data.collate import BatchLoader, DualSourceCollate, VanillaCollate
 from vivid_tpu.data.encoders import StandardRGBEncoder
 from vivid_tpu.data.scenes import SceneDataset
@@ -37,7 +37,7 @@ from vivid_tpu.diffusion.sampler import edm_sampler, make_denoiser
 from vivid_tpu.nn.precond import PrecondConfig, precond_init
 from vivid_tpu.train.snapshots import save_snapshot
 from vivid_tpu.train.step import (TrainConfig, TrainState, init_train_state,
-                                  make_train_step)
+                                  jit_train_step, make_train_step)
 
 
 def _state_to_dict(state: TrainState) -> dict:
@@ -104,6 +104,7 @@ def training_loop(
     metrics_list=None,
     max_steps: Optional[int] = None,
     debug: Optional[bool] = None,
+    fsdp: bool = False,
 ):
     """Train an NVS diffusion model. Interval arguments are in nimg like the
     reference; `max_steps` additionally bounds the number of optimizer steps
@@ -233,7 +234,6 @@ def training_loop(
             data = pickle.load(f)
         state = _state_from_dict(jax.tree.map(jnp.asarray, data["state"]))
 
-    state = replicate(mesh, state)
     stop_at_nimg = total_nimg
     if slice_nimg is not None:
         granularity = checkpoint_nimg or snapshot_nimg or batch_size
@@ -245,9 +245,22 @@ def training_loop(
                 f"{stop_at_nimg // 1000} kimg "
                 f"({(stop_at_nimg - int(state.cur_nimg)) // nimg_per_step} steps):")
 
-    step_fn = jax.jit(make_train_step(loss_fn, model_cfg, train_cfg, ema_exponents),
-                      donate_argnums=0)
+    # FSDP (ZeRO-3) shards params/optimizer/EMA state over the 'data' axis;
+    # default keeps the reference's DDP memory model (replicated state).
+    step_fn, state = jit_train_step(
+        make_train_step(loss_fn, model_cfg, train_cfg, ema_exponents),
+        mesh, state, fsdp_axis="data" if fsdp else None,
+        accum=train_cfg.num_accum > 1)
+    if fsdp:
+        dist.print0(f"FSDP: state sharded over {n_data} devices")
     seed_key = base_key(seed)
+
+    def host_state():
+        """State with every leaf host-readable (all-gathered under FSDP)."""
+        if not fsdp:
+            return state
+        from vivid_tpu.core.sharding import unshard_tree
+        return unshard_tree(mesh, state)
 
     # Optional wandb mirroring of the stats stream (reference
     # training_loop.py:370-378); silently disabled when not installed.
@@ -326,24 +339,24 @@ def training_loop(
 
     ckpt_holder = {"io": None}
 
-    def save_training_state(cur_nimg):
+    def save_training_state(cur_nimg, st):
         fname = os.path.join(run_dir, f"training-state-{cur_nimg // 1000:07d}.pt")
         if ckpt_holder["io"] is not None:
             ckpt_holder["io"].wait()  # one in-flight async write at a time
-        holder = CheckpointIO(state=_state_to_dict(state))
+        holder = CheckpointIO(state=_state_to_dict(st))
         holder.save(fname, async_=True)
         ckpt_holder["io"] = holder
         # Divergence detector after every checkpoint save, like the
         # reference's check_ddp_consistency (training_loop.py:501).
         if dist.get_world_size() > 1:
             from vivid_tpu.core.consistency import check_param_consistency
-            check_param_consistency(state.params, "net params")
+            check_param_consistency(st.params, "net params")
         dist.print0(f"Saved {fname}")
 
-    def save_snapshots(cur_nimg):
+    def save_snapshots(cur_nimg, st):
         if dist.get_rank() != 0:
             return
-        for std, ema in zip(train_cfg.ema_stds, state.emas):
+        for std, ema in zip(train_cfg.ema_stds, st.emas):
             fname = os.path.join(
                 run_dir, f"network-snapshot-{cur_nimg // 1000:07d}-{std:.3f}.pkl")
             save_snapshot(fname, ema, model_cfg,
@@ -372,7 +385,7 @@ def training_loop(
                                     conditioning_image=conditioning_image)
             return edm_sampler(denoise, noise, num_steps=32)
 
-    def generate_sample_grid(cur_nimg):
+    def generate_sample_grid(cur_nimg, st):
         if test_loader is None or dist.get_rank() != 0:
             return
         raw = next(test_loader)
@@ -387,7 +400,7 @@ def training_loop(
             from vivid_tpu.diffusion.loss import down_up_resize
             kwargs["conditioning_image"] = down_up_resize(
                 encoder.encode_latents(raw["tgt_image"]), 4)
-        latents = _eval_sample(state.emas[0], src, geometry, noise, rng, **kwargs)
+        latents = _eval_sample(st.emas[0], src, geometry, noise, rng, **kwargs)
         if sr_net is not None and "sr_src_image" in raw:
             sr_res = sr_net.cfg.img_resolution
             sr_src = encoder.encode_latents(raw["sr_src_image"])
@@ -466,17 +479,29 @@ def training_loop(
                 if dist.should_stop() or dist.should_suspend():
                     done = True
 
-            if interval_hit(samples_nimg, cur_nimg, prev_nimg) and cur_nimg != start_nimg:
-                generate_sample_grid(cur_nimg)
-            if metrics_fn is not None and interval_hit(metrics_nimg, cur_nimg, prev_nimg) \
-                    and cur_nimg != start_nimg:
-                results = metrics_fn(state.emas[0], model_cfg)
+            # Periodic work reads the state host-side; under FSDP the gather
+            # (host_state) is collective, so run it BEFORE any rank gating.
+            hits = dict(
+                samples=interval_hit(samples_nimg, cur_nimg, prev_nimg)
+                and cur_nimg != start_nimg,
+                metrics=metrics_fn is not None
+                and interval_hit(metrics_nimg, cur_nimg, prev_nimg)
+                and cur_nimg != start_nimg,
+                snapshot=interval_hit(snapshot_nimg, cur_nimg, prev_nimg)
+                and cur_nimg != start_nimg,
+                checkpoint=interval_hit(checkpoint_nimg, cur_nimg, prev_nimg)
+                and cur_nimg != start_nimg,
+            )
+            hs = host_state() if any(hits.values()) else state
+            if hits["samples"]:
+                generate_sample_grid(cur_nimg, hs)
+            if hits["metrics"]:
+                results = metrics_fn(hs.emas[0], model_cfg)
                 dist.print0(f"Metrics: {results}")
-            if interval_hit(snapshot_nimg, cur_nimg, prev_nimg) and cur_nimg != start_nimg:
-                save_snapshots(cur_nimg)
-            if (interval_hit(checkpoint_nimg, cur_nimg, prev_nimg)
-                    and cur_nimg != start_nimg):
-                save_training_state(cur_nimg)
+            if hits["snapshot"]:
+                save_snapshots(cur_nimg, hs)
+            if hits["checkpoint"]:
+                save_training_state(cur_nimg, hs)
 
             if done:
                 break

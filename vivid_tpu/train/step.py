@@ -166,3 +166,30 @@ def make_train_step(loss_fn: Callable, model_cfg, train_cfg: TrainConfig,
         return new_state, stats
 
     return step
+
+
+def jit_train_step(step, mesh, state: TrainState, fsdp_axis: str = None,
+                   accum: bool = False, fsdp_min_size: int = 2 ** 13):
+    """Jit `step` with the train state's shardings pinned over `mesh` and
+    place `state` accordingly. Returns (jitted_step, placed_state).
+
+    fsdp_axis=None replicates params/optimizer/EMA state on every device (the
+    reference's DDP memory model). fsdp_axis='data' shards every state leaf
+    over that axis (ZeRO-3): XLA all-gathers weights at use, reduce-scatters
+    gradients, and the Adam/EMA updates run on local shards — per-device
+    state memory drops by the axis size. The batch stays sharded on 'data'
+    either way; out_shardings keep the state sharded across steps."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from vivid_tpu.core.sharding import fsdp_shardings, shard_tree
+
+    if fsdp_axis is not None:
+        state_sh = fsdp_shardings(mesh, state, axis=fsdp_axis,
+                                  min_size=fsdp_min_size)
+    else:
+        state_sh = jax.tree.map(lambda _: NamedSharding(mesh, P()), state)
+    batch_sh = NamedSharding(mesh, P(None, "data") if accum else P("data"))
+    rng_sh = NamedSharding(mesh, P())
+    jitted = jax.jit(step, donate_argnums=0,
+                     in_shardings=(state_sh, batch_sh, rng_sh),
+                     out_shardings=(state_sh, None))
+    return jitted, shard_tree(state, state_sh)
