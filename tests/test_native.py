@@ -1,12 +1,16 @@
-"""Native resampler: build, PIL agreement, loader integration, speed."""
+"""Native resampler + PNG decoder: build, PIL agreement, loader integration,
+speed."""
 
+import io
 import time
 
 import numpy as np
 import PIL.Image
 import pytest
 
-from vivid_tpu.native.fast_image import fast_resize_available, resize_bilinear_u8
+from vivid_tpu.native.fast_image import (decode_png_rgb, fast_resize_available,
+                                         load_rgb, png_decode_available,
+                                         resize_bilinear_u8)
 
 
 @pytest.mark.skipif(not fast_resize_available(),
@@ -44,6 +48,58 @@ def test_faster_than_pil():
     # Informational: assert no pathological slowdown rather than a hard win
     # (PIL's SIMD can be fast; the native path removes object churn/GIL spans).
     assert native < pil * 3, f"native {native:.3f}s vs pil {pil:.3f}s"
+
+
+@pytest.mark.skipif(not png_decode_available(),
+                    reason="no C toolchain in this environment")
+def test_png_decode_matches_pil():
+    rng = np.random.RandomState(2)
+    cases = []
+    rgb = rng.randint(0, 256, (41, 57, 3), np.uint8)
+    cases.append(PIL.Image.fromarray(rgb, "RGB"))                     # type 2
+    cases.append(PIL.Image.fromarray(rgb[..., 0], "L"))               # type 0
+    cases.append(PIL.Image.fromarray(rgb, "RGB").convert("P"))        # type 3
+    rgba = np.concatenate([rgb, rng.randint(0, 256, (41, 57, 1), np.uint8)], -1)
+    cases.append(PIL.Image.fromarray(rgba, "RGBA"))                   # type 6
+    cases.append(PIL.Image.merge("LA", [PIL.Image.fromarray(rgb[..., 0], "L"),
+                                        PIL.Image.fromarray(rgb[..., 1], "L")]))
+    # Gradient image exercises the Sub/Up/Avg/Paeth filter predictors.
+    grad = (np.arange(64)[:, None, None] + np.arange(64)[None, :, None]
+            + np.arange(3)[None, None, :]).astype(np.uint8)
+    cases.append(PIL.Image.fromarray(grad, "RGB"))
+    for im in cases:
+        buf = io.BytesIO()
+        im.save(buf, format="PNG")
+        want = np.asarray(PIL.Image.open(io.BytesIO(buf.getvalue())).convert("RGB"))
+        got = decode_png_rgb(buf.getvalue())
+        np.testing.assert_array_equal(got, want, err_msg=f"mode {im.mode}")
+
+
+@pytest.mark.skipif(not png_decode_available(),
+                    reason="no C toolchain in this environment")
+def test_png_decode_rejects_garbage():
+    with pytest.raises(ValueError):
+        decode_png_rgb(b"not a png at all")
+    # 16-bit PNGs are out of scope for the native path.
+    img16 = PIL.Image.fromarray(
+        np.random.RandomState(3).randint(0, 65535, (8, 8), np.uint16), "I;16")
+    buf = io.BytesIO()
+    img16.save(buf, format="PNG")
+    with pytest.raises(ValueError):
+        decode_png_rgb(buf.getvalue())
+
+
+def test_load_rgb_roundtrip(tmp_path):
+    rng = np.random.RandomState(4)
+    img = rng.randint(0, 256, (33, 29, 3), np.uint8)
+    p = str(tmp_path / "img.png")
+    PIL.Image.fromarray(img, "RGB").save(p)
+    np.testing.assert_array_equal(load_rgb(p), img)
+    # Non-PNG goes through the PIL fallback.
+    j = str(tmp_path / "img.jpg")
+    PIL.Image.fromarray(img, "RGB").save(j, quality=95)
+    out = load_rgb(j)
+    assert out.shape == (33, 29, 3) and out.dtype == np.uint8
 
 
 def test_collate_uses_fast_path_when_available():

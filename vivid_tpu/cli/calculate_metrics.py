@@ -56,7 +56,8 @@ class ImageFolderIterable:
 
     def __iter__(self):
         def load(p):
-            return np.asarray(PIL.Image.open(p).convert("RGB"))
+            from vivid_tpu.native.fast_image import load_rgb
+            return load_rgb(p)
         for i in range(len(self)):
             chunk = self.paths[i * self.max_batch_size:(i + 1) * self.max_batch_size]
             yield EasyDict(

@@ -19,9 +19,9 @@ from glob import glob
 
 import click
 import numpy as np
-import PIL.Image
 
 from vivid_tpu.data.scenes import save_scene
+from vivid_tpu.native.fast_image import load_rgb
 
 
 def _to_uint8_hwc(image) -> np.ndarray:
@@ -90,7 +90,7 @@ def re10k(data_root, split, dst, max_scenes):
             frame = os.path.join(frame_dir, ts + ".png")
             if not os.path.exists(frame):
                 continue
-            img = np.asarray(PIL.Image.open(frame).convert("RGB"))
+            img = load_rgb(frame)
             h, w = img.shape[:2]
             crop = min(h, w)
             top, left = (h - crop) // 2, (w - crop) // 2
@@ -131,8 +131,7 @@ def imagedirs(src, dst):
             poses = json.load(f)
         frames = sorted(glob(os.path.join(scene_dir, "*.png"))
                         + glob(os.path.join(scene_dir, "*.jpg")))
-        images = np.stack([np.asarray(PIL.Image.open(p).convert("RGB"))
-                           for p in frames])
+        images = np.stack([load_rgb(p) for p in frames])
         save_scene(os.path.join(dst, os.path.basename(scene_dir) + ".npz"),
                    image=images, c2w=np.asarray(poses["c2w"], np.float32),
                    fxfycxcy=np.asarray(poses["fxfycxcy"], np.float32))

@@ -21,6 +21,7 @@ import PIL.Image
 
 from vivid_tpu.core.registry import register
 from vivid_tpu.geometry.codec import compose_geometry_np
+from vivid_tpu.native.fast_image import load_rgb
 
 RANGE_SELECTIONS = {"mid": (30, 60), "long": (60, 120)}
 
@@ -133,8 +134,8 @@ class RealEstate10K:
         src_ts, src_K, src_pose = parse_line(lines[i1])
         tgt_ts, tgt_K, tgt_pose = parse_line(lines[i2])
         frame_dir = os.path.join(self.data_root, self.split, seq)
-        src_image = np.asarray(PIL.Image.open(os.path.join(frame_dir, src_ts + ".png")).convert("RGB"))
-        tgt_image = np.asarray(PIL.Image.open(os.path.join(frame_dir, tgt_ts + ".png")).convert("RGB"))
+        src_image = load_rgb(os.path.join(frame_dir, src_ts + ".png"))
+        tgt_image = load_rgb(os.path.join(frame_dir, tgt_ts + ".png"))
         return nvs_transforms(src_image, src_K, src_pose, tgt_image, tgt_K,
                               tgt_pose, self.imsize, self.srsize)
 

@@ -13,9 +13,9 @@ from glob import glob
 from typing import Iterator, Optional
 
 import numpy as np
-import PIL.Image
 
 from vivid_tpu.data.re10k import RANGE_SELECTIONS, parse_line
+from vivid_tpu.native.fast_image import load_rgb
 
 
 class RealEstate10KScenes:
@@ -79,7 +79,7 @@ class RealEstate10KScenes:
             frame = os.path.join(self.frame_root, seq, ts + ".png")
             if not os.path.exists(frame):
                 continue
-            img = np.asarray(PIL.Image.open(frame).convert("RGB"))
+            img = load_rgb(frame)
             h, w = img.shape[:2]
             crop = min(h, w)
             top, left = (h - crop) // 2, (w - crop) // 2

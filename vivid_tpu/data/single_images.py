@@ -17,11 +17,11 @@ from glob import glob
 from typing import Optional
 
 import numpy as np
-import PIL.Image
 import jax
 import jax.numpy as jnp
 
 from vivid_tpu.geometry.codec import compose_geometry_np
+from vivid_tpu.native.fast_image import load_rgb
 from vivid_tpu.geometry.warp import random_camera_rotation
 from vivid_tpu.data.collate import resize_image
 
@@ -64,7 +64,7 @@ class SingleImages:
     def row(self) -> dict:
         """One synthetic multi-view row matching the collate schema."""
         path = self.rng.choice(self.paths)
-        img = np.asarray(PIL.Image.open(path).convert("RGB"), np.float32)
+        img = load_rgb(path).astype(np.float32)
         h, w = img.shape[:2]
         f = 0.6
         K = np.array([[w * f, 0, w * 0.5], [0, h * f, h * 0.5], [0, 0, 1.0]],

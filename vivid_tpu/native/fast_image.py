@@ -1,10 +1,12 @@
-"""ctypes binding for the native image resampler, compiled on demand.
+"""ctypes binding for the native image kernels, compiled on demand.
 
 resize_bilinear_u8(img_u8 [H,W,3], size) -> float32 [size,size,3] in [0,255],
 PIL BILINEAR-equivalent (separable triangle filter with downscale-widened
-support). Compilation happens once per environment into the package dir;
-any failure flips `fast_resize_available()` to False and callers fall back
-to PIL.
+support). decode_png_rgb(bytes) / load_rgb(path) -> uint8 [H,W,3] via the
+native PNG decoder (zlib inflate + unfilter), PIL-fallback for anything it
+doesn't cover. Compilation happens once per environment into the package
+dir; any failure flips the *_available() probes to False and callers fall
+back to PIL.
 """
 
 import ctypes
@@ -24,7 +26,7 @@ _failed = False
 
 def _build():
     cc = os.environ.get("CC", "cc")
-    subprocess.run([cc, "-O3", "-fPIC", "-shared", _SRC, "-o", _LIB],
+    subprocess.run([cc, "-O3", "-fPIC", "-shared", _SRC, "-o", _LIB, "-lz"],
                    check=True, capture_output=True)
 
 
@@ -44,6 +46,14 @@ def _load():
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int]
             lib.resize_bilinear_u8.restype = None
+            lib.png_dims.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+            lib.png_dims.restype = ctypes.c_int
+            lib.decode_png_rgb.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+                ctypes.POINTER(ctypes.c_uint8)]
+            lib.decode_png_rgb.restype = ctypes.c_int
             _lib = lib
         except Exception:
             _failed = True
@@ -52,6 +62,49 @@ def _load():
 
 def fast_resize_available() -> bool:
     return _load() is not None
+
+
+def png_decode_available() -> bool:
+    return _load() is not None
+
+
+def decode_png_rgb(data: bytes) -> np.ndarray:
+    """Decode a PNG byte string to uint8 [H,W,3] RGB with the native decoder
+    (8-bit non-interlaced gray/RGB/palette/gray-alpha/RGBA). Raises
+    ValueError on unsupported/malformed input — callers fall back to PIL."""
+    lib = _load()
+    assert lib is not None, "native PNG decoder unavailable"
+    buf = np.frombuffer(data, np.uint8)
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    rc = lib.png_dims(buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                      ctypes.c_long(buf.size), ctypes.byref(w), ctypes.byref(h))
+    if rc != 0:
+        raise ValueError(f"unsupported PNG (code {rc})")
+    out = np.empty((h.value, w.value, 3), np.uint8)
+    rc = lib.decode_png_rgb(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_long(buf.size),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if rc != 0:
+        raise ValueError(f"PNG decode failed (code {rc})")
+    return out
+
+
+def load_rgb(path: str) -> np.ndarray:
+    """Load an image file as uint8 [H,W,3] RGB: native PNG decoder on the
+    hot path (the loader is host-bound on small-core machines), PIL for
+    everything else (JPEG, interlaced/16-bit PNG, ...)."""
+    lib = _load()
+    if lib is not None and path.lower().endswith(".png"):
+        with open(path, "rb") as f:
+            data = f.read()
+        try:
+            return decode_png_rgb(data)
+        except ValueError:
+            pass
+    import PIL.Image
+    return np.asarray(PIL.Image.open(path).convert("RGB"))
 
 
 def resize_bilinear_u8(img: np.ndarray, size: int) -> np.ndarray:
