@@ -95,6 +95,32 @@ def test_train_step_sharded_matches_single_device():
     np.testing.assert_allclose(w_a, w_b, rtol=1e-4, atol=1e-6)
 
 
+def test_save_dots_remat_matches_full_remat():
+    """remat='save_dots' (keep conv/attn outputs, recompute elementwise) is a
+    backward-scheduling change only — gradients must match remat=True."""
+    from vivid_tpu.diffusion.loss import NVLoss
+    loss = NVLoss(P_mean=-0.8, P_std=1.6)
+    key = jax.random.PRNGKey(1)
+    batch = {
+        "src": jax.random.normal(key, (2, 2, 16, 16, 3)),
+        "tgt": jax.random.normal(jax.random.fold_in(key, 1), (2, 16, 16, 3)),
+        "geometry": jax.random.normal(jax.random.fold_in(key, 2), (2, 2, 20)),
+    }
+    grads = {}
+    for remat in (True, "save_dots"):
+        cfg = PrecondConfig(img_resolution=16, num_sources=2,
+                            **{**TINY, "remat": remat})
+        params = precond_init(jax.random.PRNGKey(0), cfg)
+        fn = lambda p: jnp.mean(loss(p, cfg, jax.random.PRNGKey(3),
+                                     batch["src"], batch["tgt"],
+                                     batch["geometry"], train=True))
+        grads[remat] = jax.jit(jax.grad(fn))(params)
+    for a, b in zip(jax.tree.leaves(grads[True]),
+                    jax.tree.leaves(grads["save_dots"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_grad_accumulation_mechanism():
     """num_accum=2 over two *identical* microbatches must produce the same
     update as num_accum=1 over one microbatch with the same per-round rng

@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--ch", type=int, default=64)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--no-remat", action="store_true")
+    ap.add_argument("--remat", type=str, default=None,
+                    help="override remat mode: true|false|save_dots")
     ap.add_argument("--flagship", action="store_true",
                     help="ch=128 with the production label dims")
     args = ap.parse_args()
@@ -34,8 +36,12 @@ def main():
     from vivid_tpu.train.step import (TrainConfig, init_train_state,
                                       make_train_step)
 
+    remat = not args.no_remat
+    if args.remat is not None:
+        remat = {"true": True, "false": False}.get(args.remat.lower(),
+                                                   args.remat)
     kw = dict(img_resolution=64, num_sources=2, extra_attn=1, use_bf16=True,
-              remat=not args.no_remat)
+              remat=remat)
     if args.flagship:
         kw.update(model_channels=128, source_label_dim=20, target_label_dim=40)
     else:
@@ -74,7 +80,7 @@ def main():
     t2 = min(chain(13) for _ in range(2))
     dt = (t2 - t1) / 10
     print(f"train step ch={kw['model_channels']} b={b} "
-          f"remat={not args.no_remat} ({n / 1e6:.1f}M params): "
+          f"remat={remat} ({n / 1e6:.1f}M params): "
           f"{dt * 1e3:.1f} ms = {b * 6 / dt:.0f} nimg/s "
           f"({b / dt:.0f} pairs/s)", flush=True)
 

@@ -40,6 +40,19 @@ def parse_nimg(s):
     return int(s)
 
 
+def _parse_remat(value):
+    if isinstance(value, str):
+        low = value.lower()
+        if low in ("true", "1", "yes"):
+            return True
+        if low in ("false", "0", "no"):
+            return False
+        if low == "save_dots":
+            return "save_dots"
+        raise click.ClickException(f"invalid --remat value {value!r}")
+    return bool(value)
+
+
 def setup_training_config(preset="vivid-base", **opts):
     opts = EasyDict(opts)
     c = EasyDict()
@@ -72,7 +85,7 @@ def setup_training_config(preset="vivid-base", **opts):
         target_label_dim=20 * num_sources,
         use_bf16=bool(opts.get("bf16", True)),
         force_wn=bool(opts.get("force_wn", False)),
-        remat=bool(opts.get("remat", True)),
+        remat=_parse_remat(opts.get("remat", True)),
     )
     c.loss_kwargs = EasyDict(P_mean=opts.P_mean, P_std=opts.P_std)
     c.lr_kwargs = EasyDict(ref_lr=opts.lr, ref_batches=opts.decay)
@@ -156,7 +169,7 @@ def launch_training(run_dir, c):
 @click.option("--fsdp", help="Shard params/optimizer/EMA state over the data axis (ZeRO-3)", is_flag=True)
 @click.option("--bf16", help="Enable bfloat16 compute", metavar="BOOL", type=bool, default=True, show_default=True)
 @click.option("--force-wn", help="Forced weight normalization (EDM2 Eq. 66)", metavar="BOOL", type=bool, default=False, show_default=True)
-@click.option("--remat", help="Rematerialize heavy blocks in backward (memory vs speed)", metavar="BOOL", type=bool, default=True, show_default=True)
+@click.option("--remat", help="Rematerialize heavy blocks in backward: true, false, or save_dots (keep conv/attn outputs, recompute elementwise)", metavar="BOOL|save_dots", type=str, default="true", show_default=True)
 @click.option("--ls", help="Loss scaling", metavar="FLOAT", type=click.FloatRange(min=0, min_open=True), default=1, show_default=True)
 # I/O-related options.
 @click.option("--status", help="Interval of status prints", metavar="NIMG", type=parse_nimg, default="960", show_default=True)

@@ -122,9 +122,12 @@ def _split_qkv(qkv, num_heads, parts):
 
 def attention(q, k, v, bias=None):
     """q: [B, H, Sq, D], k/v: [B, H, Sk, D] -> [B, H, Sq, D]. fp32 softmax;
-    dispatches to the Pallas flash kernel on TPU (kernels/attention.py)."""
+    dispatches to the Pallas flash kernel on TPU (kernels/attention.py).
+    The "attn_out" checkpoint name lets the selective remat policy keep
+    attention outputs instead of recomputing the whole softmax backward."""
+    from jax.ad_checkpoint import checkpoint_name
     from vivid_tpu.kernels.attention import fused_attention
-    return fused_attention(q, k, v, bias)
+    return checkpoint_name(fused_attention(q, k, v, bias), "attn_out")
 
 
 def attention_with_zero_sink(q, k, v, num_zero_cols: int):

@@ -119,19 +119,23 @@ def mp_conv_apply(params, x, gain=1.0):
     """Linear ([..., cin] @ [cin, cout]) or same-padded conv2d
     ([B,H,W,cin] * [kh,kw,cin,cout]); weight normalization in fp32, compute in
     x.dtype."""
+    from jax.ad_checkpoint import checkpoint_name
     w = _normalized_weight(params["w"], gain)
     w = w.astype(x.dtype)
     if w.ndim == 2:
-        return x @ w
+        return checkpoint_name(x @ w, "mpconv_out")
     assert w.ndim == 4
     pad_h = w.shape[0] // 2
     pad_w = w.shape[1] // 2
-    return jax.lax.conv_general_dilated(
+    # The "mpconv_out" checkpoint name drives the selective remat policy
+    # (UNetConfig.remat="save_dots"): keep conv/linear outputs, recompute the
+    # cheap elementwise chains in the backward pass.
+    return checkpoint_name(jax.lax.conv_general_dilated(
         x, w,
         window_strides=(1, 1),
         padding=((pad_h, pad_h), (pad_w, pad_w)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
+    ), "mpconv_out")
 
 
 def force_weight_normalize(params):

@@ -55,7 +55,7 @@ class PrecondConfig:
     epipolar_attention_bias: bool = False
     channels_per_head: int = 64
     dropout: float = 0.0
-    remat: bool = True
+    remat: object = True                  # False | True | "save_dots"
     scan_blocks: bool = False             # lax.scan over equal-config block runs
     force_wn: bool = False                # forced weight normalization (Eq. 66)
 

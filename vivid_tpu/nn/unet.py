@@ -53,7 +53,10 @@ class UNetConfig:
     res_balance: float = 0.3
     attn_balance: float = 0.3
     clip_act: Optional[float] = 256.0
-    remat: bool = True                    # jax.checkpoint heavy blocks
+    remat: bool = True                    # jax.checkpoint heavy blocks; the
+                                          # string "save_dots" keeps conv +
+                                          # attention outputs and recomputes
+                                          # only the elementwise chains
     scan_blocks: bool = False             # lax.scan over equal-config block
                                           # runs (smaller HLO, faster compile)
 
@@ -212,8 +215,17 @@ def compute_emb(params, cfg: UNetConfig, noise_labels, geometry):
     return mp_silu(emb)
 
 
-def _maybe_remat(fn, enabled):
-    return jax.checkpoint(fn, static_argnums=()) if enabled else fn
+def _remat_wrap(fn, remat):
+    """remat: False | True (full recompute) | "save_dots" (keep conv/attn
+    outputs — the "mpconv_out"/"attn_out" checkpoint names — and recompute
+    only the cheap elementwise chains in the backward)."""
+    if not remat:
+        return fn
+    if remat == "save_dots":
+        policy = jax.checkpoint_policies.save_only_these_names(
+            "mpconv_out", "attn_out")
+        return jax.checkpoint(fn, policy=policy)
+    return jax.checkpoint(fn)
 
 
 def unet_apply(params, cfg: UNetConfig, x, noise_labels, geometry,
@@ -250,7 +262,7 @@ def unet_apply(params, cfg: UNetConfig, x, noise_labels, geometry,
                      src_geometries=src_geometries, train=train, dropout_key=dk)
         fn2 = lambda p, hh, ee: fn(p, x=hh, emb=ee)
         if cfg.remat and (entry.name.startswith("dec/") or cfg.kind == "encoder"):
-            fn2 = jax.checkpoint(fn2)
+            fn2 = _remat_wrap(fn2, cfg.remat)
         return fn2(params[entry.name], h, emb)
 
     def split_runs(entries, is_dec):
@@ -298,7 +310,7 @@ def unet_apply(params, cfg: UNetConfig, x, noise_labels, geometry,
             return out, out
 
         if cfg.remat and (is_dec or cfg.kind == "encoder"):
-            body = jax.checkpoint(body)
+            body = _remat_wrap(body, cfg.remat)
         return jax.lax.scan(body, h, (stacked, feats, dks, skips_in))
 
     # Encoder.
