@@ -100,8 +100,34 @@ def main():
     assert os.path.exists(path)
 
     assert int(state.cur_nimg) == global_batch * 6 * 2
+
+    # FSDP phase: ZeRO-3 state sharded ACROSS the two processes — exercises
+    # the multi-process make_array_from_callback placement, the
+    # reduce-scatter/all-gather step, and the collective unshard_tree gather
+    # that snapshots/checkpoints use.
+    from vivid_tpu.core.sharding import unshard_tree
+    from vivid_tpu.train.step import jit_train_step
+    params2 = precond_init(jax.random.PRNGKey(0), cfg)
+    fstep, fstate = jit_train_step(
+        make_train_step(NVLoss(P_mean=-0.8, P_std=1.6), cfg, tcfg, exps),
+        mesh, init_train_state(params2, tcfg),
+        fsdp_axis="data", fsdp_min_size=0)
+    assert any(not x.sharding.is_fully_replicated
+               for x in jax.tree.leaves(fstate.params))
+    rng2 = np.random.RandomState(200 + args.process_id)
+    fbatch = shard_batch(mesh, {
+        "src": rng2.randn(local, 2, 32, 32, 3).astype(np.float32),
+        "tgt": rng2.randn(local, 32, 32, 3).astype(np.float32),
+        "geometry": rng2.randn(local, 2, 20).astype(np.float32),
+    })
+    fstate, fst = fstep(fstate, fbatch, jax.random.PRNGKey(9))
+    floss = float(fst["Loss/loss"])
+    assert np.isfinite(floss), floss
+    gathered = unshard_tree(mesh, fstate.params)
+    check_param_consistency(jax.device_get(gathered), "fsdp params")
+
     print(f"MULTIHOST-OK p{args.process_id} loss={loss:.4f} "
-          f"stats_num={agg['Loss/loss'].num}", flush=True)
+          f"fsdp_loss={floss:.4f} stats_num={agg['Loss/loss'].num}", flush=True)
 
 
 if __name__ == "__main__":

@@ -65,6 +65,21 @@ def test_generate_seed_determinism(env):
     np.testing.assert_array_equal(np.asarray(na[0]), np.asarray(nb[0]))
 
 
+def test_generate_tensor_parallel_matches(env):
+    """--tp 2: tensor-parallel sampling over the 'model' axis must reproduce
+    the data-parallel images (same seeds, same snapshot)."""
+    def run(tp):
+        it = generate_images_nvs(net=env["snap"], seeds=range(3, 7),
+                                 max_batch_size=4,
+                                 datakwargs={"path": env["data"]}, num_steps=2,
+                                 verbose=False, tp=tp)
+        return next(b for b in it if b.images is not None).images
+    base = run(0)
+    tp2 = run(2)
+    diff = np.abs(base.astype(np.int16) - tp2.astype(np.int16))
+    assert diff.max() <= 1, f"tp=2 images diverge (max diff {diff.max()})"
+
+
 def test_generate_with_guidance(env):
     it = generate_images_nvs(net=env["snap"], gnet=env["gsnap"], guidance=1.5,
                              seeds=range(0, 2), max_batch_size=2,

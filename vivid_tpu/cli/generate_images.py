@@ -52,6 +52,7 @@ def parse_int_list(s):
 @click.option("--range-selection", help="Range selection", metavar="MID,LONG", type=str, default=None, show_default=True)
 @click.option("--depth-model", help="Depth model to use for evaluation", metavar="STR", type=str, default=None, show_default=True)
 @click.option("--vanilla-mode", help="Single-source conditioning", is_flag=True)
+@click.option("--tp", help="Tensor-parallel ways over the local devices (latency lever)", metavar="INT", type=click.IntRange(min=0), default=0)
 def cmdline(preset, data_path, **opts):
     """Generate novel views using the given model.
 

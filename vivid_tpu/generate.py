@@ -78,6 +78,7 @@ def generate_images_nvs(
     vanilla_mode: bool = False,
     guidance: float = 1.0,
     rng_seed: int = 0,
+    tp: int = 0,                          # tensor-parallel ways (model axis)
     **sampler_kwargs,
 ):
     # Rank 0 loads first (cache warm), others follow — reference barrier idiom.
@@ -128,17 +129,30 @@ def generate_images_nvs(
         # No guidance in the SR stage (generate_images.py:230-232).
         sr_sample_fn = _build_sampler(sr_model.cfg, None, sampler_kwargs, True)
 
-    # Shard sampling over this process's devices when the batch divides the
-    # device count (data-parallel serving on a multi-chip host).
-    from vivid_tpu.core.sharding import make_mesh, shard_batch as _shard
+    # Shard sampling over this process's devices: data-parallel by default;
+    # `tp` ways of tensor parallelism over the 'model' axis when requested
+    # (the serving-latency lever once one chip is too slow for a batch —
+    # attention heads / conv channels split via act_sharding constraints).
+    import contextlib
+    from vivid_tpu.core.sharding import act_sharding, make_mesh, shard_batch as _shard
     n_dev = len(jax.local_devices())
-    mesh = make_mesh(n_data=n_dev) if n_dev > 1 else None
+    act_ctx = contextlib.nullcontext
+    n_data = n_dev
+    if tp and tp > 1:
+        assert n_dev % tp == 0, f"tp={tp} does not divide {n_dev} devices"
+        n_data = n_dev // tp
+        mesh = make_mesh(n_data=n_data, n_model=tp)
+        act_ctx = lambda: act_sharding(mesh, tp="model")
+    elif n_dev > 1:
+        mesh = make_mesh(n_data=n_dev)
+    else:
+        mesh = None
 
     def maybe_shard(tree):
         if mesh is None:
             return tree
         b_ = jax.tree.leaves(tree)[0].shape[0]
-        if b_ % n_dev != 0:
+        if b_ % n_data != 0:
             return tree
         return _shard(mesh, tree)
 
@@ -188,13 +202,14 @@ def generate_images_nvs(
                     if super_res:
                         from vivid_tpu.diffusion.loss import down_up_resize
                         cond = down_up_resize(encoder.encode_latents(tgt_raw), 4)
-                    latents = sample_fn(params,
-                                        gnet.params if gnet is not None else params,
-                                        src, geometry, noise,
-                                        jnp.asarray(guidance, jnp.float32), rng,
-                                        conditioning_image=cond,
-                                        use_gnet=(gnet is not None and guidance != 1),
-                                        seeds=seed_arr)
+                    with act_ctx():  # trace-time: constraints bake into the jit
+                        latents = sample_fn(params,
+                                            gnet.params if gnet is not None else params,
+                                            src, geometry, noise,
+                                            jnp.asarray(guidance, jnp.float32), rng,
+                                            conditioning_image=cond,
+                                            use_gnet=(gnet is not None and guidance != 1),
+                                            seeds=seed_arr)
                     r.images = np.asarray(encoder.decode(latents))
                     r.src = src_raw[:, 0] if src_raw.ndim == 5 else src_raw
                     r.tgt = tgt_raw
@@ -211,12 +226,13 @@ def generate_images_nvs(
                             latents, latents.shape[:1] + (sr_res, sr_res,
                                                           latents.shape[-1]),
                             method="bilinear")
-                        sr_latents = sr_sample_fn(
-                            sr_model.params, sr_model.params, sr_src,
-                            sr_geometry, sr_noise,
-                            jnp.asarray(1.0, jnp.float32), rng,
-                            conditioning_image=low_res, use_gnet=False,
-                            seeds=jnp.asarray(r.seeds, jnp.uint32))
+                        with act_ctx():
+                            sr_latents = sr_sample_fn(
+                                sr_model.params, sr_model.params, sr_src,
+                                sr_geometry, sr_noise,
+                                jnp.asarray(1.0, jnp.float32), rng,
+                                conditioning_image=low_res, use_gnet=False,
+                                seeds=jnp.asarray(r.seeds, jnp.uint32))
                         r.images = np.asarray(encoder.decode(sr_latents))
                         r.src = sr_src_raw[:, 0] if sr_src_raw.ndim == 5 else sr_src_raw
                         r.tgt = sr_tgt_raw
