@@ -121,13 +121,18 @@ def _usable(spec: ActShardSpec, name: Optional[str], dim: int) -> Optional[str]:
     return name
 
 
-def tp_heads_sharded(q) -> bool:
-    """True when the active act_sharding context shards the head axis of
-    [B, heads, S, D] attention inputs (kernels dispatch on this: the Pallas
-    custom call is not GSPMD-partitionable, the einsum path is)."""
+def tp_heads_axes(q):
+    """(mesh, data_axis, tp_axis) when the active act_sharding context shards
+    the head axis of [B, heads, S, D] attention inputs; None otherwise.
+    Kernels dispatch on this: the Pallas flash custom call is not
+    GSPMD-partitionable over heads, so fused_attention runs the kernel
+    per-shard under shard_map on these axes (attention is independent per
+    (batch, head) — no collectives). data_axis is None when the batch dim
+    doesn't divide over the data axis."""
     spec = _ACT_SPEC[-1]
-    return (spec is not None
-            and _usable(spec, spec.tp, q.shape[1]) is not None)
+    if spec is None or _usable(spec, spec.tp, q.shape[1]) is None:
+        return None
+    return spec.mesh, _usable(spec, spec.data, q.shape[0]), spec.tp
 
 
 def constrain(x, kind: str):

@@ -10,6 +10,8 @@ the win is avoiding the [B,H,S,Sk] fp32 logit round-trip through HBM.
     fp32 accumulation), with optional additive logit bias (epipolar path).
   * otherwise -> einsum + softmax (XLA fuses fine at tiny sizes; also the
     CPU/test path).
+  * under tensor parallelism (act_sharding tp=...) the whole dispatch runs
+    per-head-shard inside shard_map, so the Pallas kernel survives TP.
 
 Layouts: q [B, H, Sq, D]; k/v [B, H, Sk, D]; bias [B, H, Sq, Sk] or None —
 the flash kernel's native layout, produced directly by the blocks' packed
@@ -58,11 +60,6 @@ def _use_pallas(q, k) -> bool:
         return False
     if jax.devices()[0].platform != "tpu":
         return False
-    from vivid_tpu.core.sharding import tp_heads_sharded
-    if tp_heads_sharded(q):
-        # GSPMD cannot partition the Pallas custom call over the head axis;
-        # the einsum path partitions cleanly under tensor parallelism.
-        return False
     sq, sk = q.shape[2], k.shape[2]
     # Pallas pays off once the logit matrix stops being tiny; block machinery
     # needs 128-multiple divisors of both sequence lengths.
@@ -71,6 +68,28 @@ def _use_pallas(q, k) -> bool:
 
 
 def fused_attention(q, k, v, bias: Optional[jax.Array] = None):
+    """Public entry. Under an active tensor-parallel act_sharding context
+    (heads sharded over the mesh's model axis) the kernel dispatch runs
+    per-shard inside shard_map — attention is independent per (batch, head),
+    so each device runs the Pallas kernel on its local head slice with zero
+    collectives. GSPMD alone can't partition the Pallas custom call, and the
+    fallback einsum path halved TP serving throughput."""
+    from vivid_tpu.core.sharding import tp_heads_axes
+    tp = tp_heads_axes(q)
+    if tp is None:
+        return _attention_local(q, k, v, bias)
+    mesh, data_ax, tp_ax = tp
+    from jax.sharding import PartitionSpec as P
+    spec = P(data_ax, tp_ax, None, None)
+    args, in_specs = (q, k, v), (spec, spec, spec)
+    if bias is not None:
+        args, in_specs = args + (bias,), in_specs + (spec,)
+    fn = jax.shard_map(lambda *a: _attention_local(*a),
+                       mesh=mesh, in_specs=in_specs, out_specs=spec)
+    return fn(*args)
+
+
+def _attention_local(q, k, v, bias: Optional[jax.Array] = None):
     if not _use_pallas(q, k):
         return reference_attention(q, k, v, bias)
     flash_attention, BlockSizes = _flash()
