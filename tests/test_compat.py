@@ -90,13 +90,24 @@ def _make_reference_pickle(tmp_path):
     fake_mod = types.ModuleType("torch_utils.persistence")
     fake_mod._reconstruct_persistent_obj = _reconstruct_persistent_obj
     fake_pkg.persistence = fake_mod
-    sys.modules.setdefault("torch_utils", fake_pkg)
+    # Save/RESTORE any real entries (the golden tests may have imported the
+    # actual reference package in this process; deleting its sys.modules
+    # entries would make later pickles re-import a second instance and fail
+    # persistence's identity check).
+    sentinel = object()
+    saved = {n: sys.modules.get(n, sentinel)
+             for n in ("torch_utils", "torch_utils.persistence")}
+    sys.modules["torch_utils"] = fake_pkg
     sys.modules["torch_utils.persistence"] = fake_mod
-    with open(path, "wb") as f:
-        pickle.dump(data, f)
-    del sys.modules["torch_utils.persistence"]
-    if getattr(sys.modules.get("torch_utils"), "persistence", None) is fake_mod:
-        del sys.modules["torch_utils"]
+    try:
+        with open(path, "wb") as f:
+            pickle.dump(data, f)
+    finally:
+        for n, v in saved.items():
+            if v is sentinel:
+                sys.modules.pop(n, None)
+            else:
+                sys.modules[n] = v
     return path
 
 

@@ -38,7 +38,9 @@ def test_two_process_training(tmp_path):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=560)
+            # Generous: the 1-core host time-slices both workers, and a
+            # concurrent pytest run can triple the ~260 s solo wall-clock.
+            out, _ = p.communicate(timeout=1100)
             outs.append(out.decode(errors="replace"))
     finally:
         for p in procs:

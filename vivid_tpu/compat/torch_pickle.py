@@ -31,13 +31,112 @@ from vivid_tpu.core.easydict import EasyDict
 # ---------------------------------------------------------------------------
 # Persistence-protocol reconstruction (requires torch; CPU is fine).
 
+class _StubSymbol:
+    """Placeholder for a symbol the pickle-embedded source imports from a
+    package that is unavailable standalone (torch_utils, training, ...).
+    Module-level code only needs such symbols to survive import and decorator
+    application (`@persistence.persistent_class`); reconstruction never calls
+    __init__/forward, so anything else fails loudly at use time."""
+
+    def __init__(self, name):
+        self._name = name
+
+    def __call__(self, *args, **kwargs):
+        if len(args) == 1 and isinstance(args[0], type) and not kwargs:
+            return args[0]  # class decorator: pass the class through
+        raise RuntimeError(
+            f"stubbed reference symbol {self._name!r} called at runtime — "
+            "the original package is required for this operation")
+
+    def __getattr__(self, key):
+        return _StubSymbol(self._name + "." + key)
+
+    def __bool__(self):
+        # Flag-like globals (e.g. models.py:22 VANILLA_MODE) default to off,
+        # matching the reference's module defaults.
+        return False
+
+
+def _stub_module(name: str) -> types.ModuleType:
+    mod = types.ModuleType(name)
+    mod.__path__ = []  # make it a package so submodule imports recurse here
+    # A real string __file__: inspect.getmodule walks ALL of sys.modules and
+    # calls getfile on anything with a __file__ attribute — a __getattr__-
+    # synthesized value there breaks unrelated imports (e.g. torch custom-op
+    # registration).
+    mod.__file__ = f"<{name} (vivid_tpu compat stub)>"
+    mod.__getattr__ = lambda key, _n=name: _StubSymbol(_n + "." + key)
+    return mod
+
+
+# Reference-family packages hidden while embedded source execs: with them
+# visible, the source's own @persistence.persistent_class decorators would
+# run for real and register the synthetic module into the REFERENCE's
+# src->module cache, hijacking its subsequent reconstructions.
+_ISOLATE_PKGS = ("torch_utils", "dnnlib", "training")
+
+_SRC_MODULE_CACHE: Dict[str, types.ModuleType] = {}
+
+
 def _src_to_module(src: str) -> types.ModuleType:
-    module_name = "_vivid_compat_" + uuid.uuid4().hex
+    """Exec pickle-embedded module source in a synthetic package.
+
+    The reference's own models.py uses a relative import
+    (`from .custom_litdata_loader import VANILLA_MODE`, models.py:22) and
+    absolute imports of its sibling packages (torch_utils, training.utils) —
+    its own `_src_to_module` (torch_utils/persistence.py:226-237) therefore
+    only reconstructs in a process that already imported the package (the
+    src->module cache). This standalone version gives the synthetic module a
+    parent package and auto-stubs missing/hidden imports, so genuine
+    reference snapshots load with no reference checkout installed. Cached per
+    source text: a snapshot's nested persistent children all share one exec."""
+    cached = _SRC_MODULE_CACHE.get(src)
+    if cached is not None:
+        return cached
+    pkg_name = "_vivid_compat_" + uuid.uuid4().hex
+    pkg = _stub_module(pkg_name)
+    sys.modules[pkg_name] = pkg
+    module_name = pkg_name + ".embedded"
     module = types.ModuleType(module_name)
+    module.__package__ = pkg_name
+    module.__file__ = module_name.replace(".", "/") + ".py"
     sys.modules[module_name] = module
-    module.__dict__["__file__"] = module_name + ".py"
-    exec(src, module.__dict__)  # noqa: S102 — documented persistence protocol
-    return module
+    # Seed linecache so inspect works on the synthetic module if anything
+    # (e.g. torch tooling) asks for its source later.
+    import linecache
+    linecache.cache[module.__file__] = (
+        len(src), None, src.splitlines(keepends=True), module.__file__)
+
+    hidden = {name: sys.modules.pop(name) for name in list(sys.modules)
+              if name.split(".")[0] in _ISOLATE_PKGS}
+    stubbed = []
+    for name in _ISOLATE_PKGS:
+        sys.modules[name] = _stub_module(name)
+        stubbed.append(name)
+    try:
+        for _ in range(64):  # one missing import stubbed per retry
+            try:
+                exec(src, module.__dict__)  # noqa: S102 — documented persistence protocol
+                _SRC_MODULE_CACHE[src] = module
+                return module
+            except ModuleNotFoundError as e:
+                if e.name is None or e.name in sys.modules:
+                    raise
+                parts = e.name.split(".")
+                for i in range(len(parts)):
+                    name = ".".join(parts[: i + 1])
+                    if name not in sys.modules:
+                        sys.modules[name] = _stub_module(name)
+                        stubbed.append(name)
+        raise RuntimeError(
+            "embedded module source failed to import after stubbing")
+    finally:
+        # The embedded module keeps its references in its own __dict__; drop
+        # the stubs from sys.modules (so they can't shadow genuine packages)
+        # and restore anything we hid.
+        for name in stubbed:
+            sys.modules.pop(name, None)
+        sys.modules.update(hidden)
 
 
 def _reconstruct_persistent_obj(meta):
@@ -128,7 +227,12 @@ def map_torch_state(named_params: Dict[str, np.ndarray],
 def extract_config(net) -> dict:
     """Derive a PrecondConfig kwargs dict from a reconstructed torch
     NVPrecond (init args recorded by the persistence layer)."""
-    kwargs = dict(getattr(net, "init_kwargs", {}) or {})
+    # The persistence wrapper exposes init_kwargs as a property; a net
+    # reconstructed by our standalone exec path is the ORIGINAL class, so
+    # read the wrapper-recorded state field directly as the fallback
+    # (torch_utils/persistence.py records _init_kwargs at construction).
+    kwargs = dict(getattr(net, "init_kwargs", None)
+                  or getattr(net, "_init_kwargs", None) or {})
     mapped = dict(
         img_resolution=kwargs.get("img_resolution", getattr(net, "img_resolution", 64)),
         img_channels=kwargs.get("img_channels", getattr(net, "img_channels", 3)),
