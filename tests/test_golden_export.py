@@ -184,6 +184,29 @@ def test_reference_made_pickle_loads_standalone(tmp_path):
     assert len(got) == len(want) + n_buffers
 
 
+def test_export_cli_converts_snapshot(tmp_path):
+    """python -m vivid_tpu.compat.torch_export: our snapshot format in,
+    reference-format pickle out, loadable by load_snapshot's compat route."""
+    from click.testing import CliRunner
+    from vivid_tpu.compat.torch_export import cmdline
+    from vivid_tpu.train.snapshots import load_snapshot, save_snapshot
+
+    params, cfg = _tiny()
+    snap = str(tmp_path / "network-snapshot-0000001-0.050.pkl")
+    save_snapshot(snap, params, cfg, half=False)
+    out = str(tmp_path / "torch-snapshot.pkl")
+    r = CliRunner().invoke(cmdline, [snap, out, "--fp32",
+                                     f"--reference-root={REFERENCE}"])
+    assert r.exit_code == 0, r.output
+    back = load_snapshot(out)  # auto-detects the torch format
+    assert back.cfg.model_channels == cfg.model_channels
+    import jax
+    for (pa, va), (_, vb) in zip(jax.tree_util.tree_flatten_with_path(params)[0],
+                                 jax.tree_util.tree_flatten_with_path(back.params)[0]):
+        np.testing.assert_allclose(np.asarray(va), np.asarray(vb), atol=0,
+                                   err_msg=jax.tree_util.keystr(pa))
+
+
 def test_tree_to_torch_state_inverts_map(tmp_path):
     """tree_to_torch_state is the exact inverse of map_torch_state."""
     import jax

@@ -25,6 +25,7 @@ import sys
 import types
 from typing import Dict, Optional
 
+import click
 import numpy as np
 
 
@@ -160,3 +161,34 @@ def export_reference_pickle(path: str, params, cfg, reference_root: str,
     with open(path, "wb") as f:
         pickle.dump(data, f)
     return path
+
+
+@click.command(help="Convert a vivid_tpu training snapshot into a "
+                    "reference-format torch pickle: "
+                    "python -m vivid_tpu.compat.torch_export IN.pkl OUT.pkl")
+@click.argument("snapshot", type=click.Path(exists=True, dir_okay=False))
+@click.argument("out", type=click.Path(dir_okay=False))
+@click.option("--reference-root", default="/root/reference",
+              help="Path to a danielcodelavin/vivid checkout (needed at "
+                   "export time only; the output pickle is standalone).",
+              show_default=True)
+@click.option("--fp16/--fp32", default=True, show_default=True,
+              help="Store weights fp16 like reference snapshots.")
+def cmdline(snapshot, out, reference_root, fp16):
+    # Pure host-side conversion: don't initialize a TPU backend (the remote
+    # tunnel adds minutes of startup for zero benefit here).
+    import jax
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass  # backend already initialized by the calling process
+    from vivid_tpu.train.snapshots import load_snapshot
+    data = load_snapshot(snapshot)
+    export_reference_pickle(out, data.params, data.cfg,
+                            reference_root=reference_root,
+                            dataset_kwargs=data.dataset_kwargs, fp16=fp16)
+    click.echo(f"Wrote reference-format snapshot: {out}")
+
+
+if __name__ == "__main__":
+    cmdline()
