@@ -46,6 +46,44 @@ def test_jax_vs_torch_twin_parity():
     assert np.abs(want[0] - want[1]).max() > 1e-6
 
 
+def test_tf1_resize_matches_nvidia_grid_sample():
+    """tf1_resize_bilinear must reproduce the NVIDIA inception pickle's
+    internal resize EXACTLY. The pickle emulates TF1
+    resize_bilinear(align_corners=False) with an affine_grid whose theta is
+    shifted by 1/in - 1/out, then grid_sample(bilinear, border,
+    align_corners=False) — reconstructed verbatim here as the oracle."""
+    import torch
+    import torch.nn.functional as F
+    from vivid_tpu.metrics.inception_jax import tf1_resize_bilinear
+
+    rng = np.random.RandomState(0)
+    for in_hw, out_hw in (((64, 64), (299, 299)), ((256, 256), (299, 299)),
+                          ((299, 299), (150, 75)), ((40, 56), (299, 299))):
+        x = rng.randint(0, 256, (2, *in_hw, 3)).astype(np.float32)
+        xt = torch.as_tensor(x).permute(0, 3, 1, 2)  # NCHW
+        n, c, h, w = xt.shape
+        new_h, new_w = out_hw
+        theta = torch.eye(2, 3)
+        theta[0, 2] += theta[0, 0] / w - theta[0, 0] / new_w
+        theta[1, 2] += theta[1, 1] / h - theta[1, 1] / new_h
+        theta = theta.unsqueeze(0).repeat([n, 1, 1])
+        grid = F.affine_grid(theta, [n, c, new_h, new_w], align_corners=False)
+        want = F.grid_sample(xt, grid, mode="bilinear", padding_mode="border",
+                             align_corners=False)
+        want = want.permute(0, 2, 3, 1).numpy()
+        got = np.asarray(tf1_resize_bilinear(x, new_h, new_w))
+        # atol: grid_sample quantizes through fp32 normalized coords
+        # (~3e-4 relative on 0..255 data); the half-pixel delta is >1.0.
+        np.testing.assert_allclose(got, want, rtol=0, atol=2e-2)
+
+    # And it must DIFFER from half-pixel resize (the bug being fixed).
+    x = rng.randint(0, 256, (1, 64, 64, 3)).astype(np.float32)
+    half_pixel = np.asarray(jax.image.resize(
+        jax.numpy.asarray(x), (1, 299, 299, 3), "bilinear"))
+    tf1 = np.asarray(tf1_resize_bilinear(x, 299, 299))
+    assert np.abs(tf1 - half_pixel).max() > 1.0
+
+
 def test_jax_inception_batch_invariance():
     params = init_params(jax.random.PRNGKey(1))
     rng = np.random.RandomState(1)

@@ -38,8 +38,11 @@ def main():
 
     remat = not args.no_remat
     if args.remat is not None:
-        remat = {"true": True, "false": False}.get(args.remat.lower(),
-                                                   args.remat)
+        allowed = {"true": True, "false": False, "save_dots": "save_dots"}
+        if args.remat.lower() not in allowed:
+            ap.error(f"--remat must be one of {sorted(allowed)}, "
+                     f"got {args.remat!r}")
+        remat = allowed[args.remat.lower()]
     kw = dict(img_resolution=64, num_sources=2, extra_attn=1, use_bf16=True,
               remat=remat)
     if args.flagship:

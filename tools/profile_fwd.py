@@ -106,9 +106,10 @@ def section_attn_micro(ch, batch):
     print(f"\nattention micro (lax.scan stack of {STACK}, per-layer):")
     for label, b, sq, sk, h, n in model_attention_shapes(ch, batch):
         key = jax.random.PRNGKey(0)
-        q = jax.random.normal(key, (b, sq, h, 64), jnp.bfloat16)
-        k = jax.random.normal(jax.random.fold_in(key, 1), (b, sk, h, 64), jnp.bfloat16)
-        v = jax.random.normal(jax.random.fold_in(key, 2), (b, sk, h, 64), jnp.bfloat16)
+        # Kernel-native layout [B, H, S, D] (kernels/attention.py contract).
+        q = jax.random.normal(key, (b, h, sq, 64), jnp.bfloat16)
+        k = jax.random.normal(jax.random.fold_in(key, 1), (b, h, sk, 64), jnp.bfloat16)
+        v = jax.random.normal(jax.random.fold_in(key, 2), (b, h, sk, 64), jnp.bfloat16)
         row = f"  {label:>18} B={b:<3} Sq={sq:<5} Sk={sk:<5} H={h} x{n}:"
         for name, fn in (("flash", fused_attention), ("einsum", reference_attention)):
             def stack(q_, k_, v_, _fn=fn):

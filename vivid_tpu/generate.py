@@ -171,7 +171,13 @@ def generate_images_nvs(
                 r.seeds = [seeds[int(i)] for i in indices]
                 if len(r.seeds) > 0:
                     raw = next(loader)
-                    n = min(len(r.seeds), raw["src_image"].shape[0])
+                    # Tail batches of a finite dataset are padded with
+                    # duplicated rows for static shapes; "valid" marks the
+                    # real ones — don't emit duplicates as samples.
+                    n_real = int(raw.get("valid",
+                                         np.ones(raw["src_image"].shape[0],
+                                                 bool)).sum())
+                    n = min(len(r.seeds), n_real)
                     r.seeds = r.seeds[:n]
                     key = "src_image" if not super_res else "sr_src_image"
                     src_raw = raw[key][:n]

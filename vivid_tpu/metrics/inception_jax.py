@@ -17,8 +17,9 @@ it is exercised by a weight-gated test. Feature contract matches the
 reference detector: uint8 NHWC in, [N, 2048] float32 out.
 
 BN semantics: TF-slim batch_norm (beta only, no scale, eps 1e-3, moving
-stats). Preprocessing: bilinear resize to 299 (align_corners=False, TF
-default) then x/127.5 - 1.
+stats). Preprocessing: TF1-style bilinear resize to 299 (corner-origin
+src = dst*scale, the NVIDIA pickle's grid_sample emulation — see
+tf1_resize_bilinear) then (x - 128)/128.
 """
 
 from functools import partial
@@ -208,14 +209,39 @@ def _apply_seq(params, spec, x):
     return x
 
 
+def tf1_resize_bilinear(x, out_h: int, out_w: int):
+    """TF1 `tf.image.resize_bilinear(align_corners=False)` on NHWC arrays —
+    source position = dst * (in/out) with border clamp (corner-origin, NOT
+    half-pixel centers). This is what the NVIDIA inception-2015-12-05 pickle
+    emulates internally via affine_grid/grid_sample (its theta shift works
+    out to src = dst*scale exactly), and FID is sensitive to the resize
+    kernel, so jax.image.resize (half-pixel) is NOT equivalent. Works on
+    jnp and np arrays (gather + lerp; indices/weights are trace-constant)."""
+    h, w = x.shape[1], x.shape[2]
+
+    def axis(in_size, out_size):
+        p = np.arange(out_size) * (in_size / out_size)
+        i0 = np.floor(p).astype(np.int32)
+        t = (p - i0).astype(np.float32)
+        i1 = np.minimum(i0 + 1, in_size - 1)
+        return i0, i1, t
+
+    y0, y1, ty = axis(h, out_h)
+    x0, x1, tx = axis(w, out_w)
+    rows = x[:, y0] * (1.0 - ty)[None, :, None, None] \
+        + x[:, y1] * ty[None, :, None, None]
+    return rows[:, :, x0] * (1.0 - tx)[None, None, :, None] \
+        + rows[:, :, x1] * tx[None, None, :, None]
+
+
 def preprocess(images_uint8):
-    """uint8 NHWC (any HxW, 3ch) -> fp32 299x299 in [-1, 1] (TF bilinear
-    resize, align_corners=False, then x/127.5 - 1)."""
+    """uint8 NHWC (any HxW, 3ch) -> fp32 299x299 scaled (x-128)/128, matching
+    the NVIDIA pickle's forward (TF1 bilinear resize then x = (x-128)/128)."""
     x = jnp.asarray(images_uint8).astype(jnp.float32)
-    n, h, w, c = x.shape
+    h, w = x.shape[1], x.shape[2]
     if (h, w) != (INPUT_SIZE, INPUT_SIZE):
-        x = jax.image.resize(x, (n, INPUT_SIZE, INPUT_SIZE, c), "bilinear")
-    return x / 127.5 - 1.0
+        x = tf1_resize_bilinear(x, INPUT_SIZE, INPUT_SIZE)
+    return (x - 128.0) / 128.0
 
 
 @partial(jax.jit, static_argnames=("use_bf16",))
@@ -322,12 +348,11 @@ def build_torch_twin(params):
 
     def forward(images_uint8):
         with torch.no_grad():
-            x = torch.as_tensor(np.asarray(images_uint8, np.float32))
-            x = x.permute(0, 3, 1, 2)
-            if x.shape[-2:] != (INPUT_SIZE, INPUT_SIZE):
-                x = F.interpolate(x, size=(INPUT_SIZE, INPUT_SIZE),
-                                  mode="bilinear", align_corners=False)
-            x = x / 127.5 - 1.0
+            xn = np.asarray(images_uint8, np.float32)
+            if xn.shape[1:3] != (INPUT_SIZE, INPUT_SIZE):
+                xn = tf1_resize_bilinear(xn, INPUT_SIZE, INPUT_SIZE)
+            x = torch.as_tensor(xn).permute(0, 3, 1, 2)
+            x = (x - 128.0) / 128.0
             y = apply_seq(INCEPTION_V3_SPEC, x)
             return y.mean(dim=(2, 3)).numpy()
 

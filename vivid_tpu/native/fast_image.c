@@ -184,7 +184,8 @@ int decode_png_rgb(const uint8_t *buf, long len, uint8_t *out) {
         default: return PNG_ERR_UNSUPP;
     }
 
-    uint8_t palette[256 * 3];
+    uint8_t palette[256 * 3] = {0};  /* out-of-range indices read black, not
+                                        uninitialized stack (short PLTE) */
     int have_palette = 0;
 
     size_t stride = (size_t)w * ch;
