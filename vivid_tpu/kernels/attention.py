@@ -89,6 +89,77 @@ def fused_attention(q, k, v, bias: Optional[jax.Array] = None):
     return fn(*args)
 
 
+# ---------------------------------------------------------------------------
+# Raw-input entry: q/k/v BEFORE pixel normalization. On TPU this dispatches
+# to the from-scratch fused kernel (kernels/flash.py) that normalizes
+# in-kernel and supports the zero-sink closed form — one HBM pass instead of
+# XLA's separate normalize passes. Everywhere else (CPU, tiny S, active
+# act_sharding) it falls back to the exact unfused composite.
+
+def _xla_attention_from_raw(q, k, v, bias=None, zero_sink: int = 0,
+                            eps: float = 1e-4):
+    from vivid_tpu.nn.mp import normalize
+    q, k, v = (normalize(t, axis=-1, eps=eps) for t in (q, k, v))
+    if zero_sink:
+        from vivid_tpu.nn.blocks import attention_with_zero_sink
+        assert bias is None, "zero-sink path carries no bias"
+        return attention_with_zero_sink(q, k, v, zero_sink)
+    return fused_attention(q, k, v, bias)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _pallas_attention_from_raw(q, k, v, bias, zero_sink: int, eps: float):
+    from vivid_tpu.kernels.flash import flash_fused
+    sq, sk = q.shape[2], k.shape[2]
+    # Whole-sequence blocks: q and k/v each stream through VMEM exactly once
+    # (measured best at the S=1024/3S hot shape — 59.1 TF/s model-level vs
+    # 56.7 at 512/1024). With a bias the [bq, bk] fp32 bias tile joins the
+    # logits in VMEM, so halve the blocks to stay under the ~16 MB budget.
+    bq_cap, bk_cap = (1024, 3072) if bias is None else (512, 1536)
+    return flash_fused(q, k, v, bias, norm_eps=eps, zero_sink=zero_sink,
+                       block_q=_largest_block(sq, bq_cap),
+                       block_k=_largest_block(sk, bk_cap))
+
+
+def _pallas_raw_fwd(q, k, v, bias, zero_sink, eps):
+    return _pallas_attention_from_raw(q, k, v, bias, zero_sink, eps), \
+        (q, k, v, bias)
+
+
+def _pallas_raw_bwd(zero_sink, eps, res, g):
+    # Backward = vjp of the exact unfused composite (XLA normalize -> stock
+    # flash / einsum, both differentiable) — the same recompute remat does.
+    q, k, v, bias = res
+    if bias is None:
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: _xla_attention_from_raw(
+                q_, k_, v_, None, zero_sink, eps), q, k, v)
+        return vjp(g) + (None,)
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_, b_: _xla_attention_from_raw(
+            q_, k_, v_, b_, zero_sink, eps), q, k, v, bias)
+    return vjp(g)
+
+
+_pallas_attention_from_raw.defvjp(_pallas_raw_fwd, _pallas_raw_bwd)
+
+
+def attention_from_raw(q, k, v, bias: Optional[jax.Array] = None,
+                       zero_sink: int = 0, eps: float = 1e-4):
+    """Attention over UN-normalized q/k/v [B, H, S, D] (the blocks' packed
+    qkv split straight from the conv): pixel-normalize each D-vector, then
+    softmax attention, with optional unscaled logit bias or `zero_sink`
+    all-zero KV columns (models.py:727-736 uncond cross features)."""
+    from vivid_tpu.core.sharding import tp_heads_axes
+    if tp_heads_axes(q) is not None:
+        # GSPMD partitions the XLA composite; fused_attention inside it
+        # handles the per-shard Pallas dispatch via shard_map.
+        return _xla_attention_from_raw(q, k, v, bias, zero_sink, eps)
+    if not _use_pallas(q, k):
+        return _xla_attention_from_raw(q, k, v, bias, zero_sink, eps)
+    return _pallas_attention_from_raw(q, k, v, bias, zero_sink, eps)
+
+
 def _attention_local(q, k, v, bias: Optional[jax.Array] = None):
     if not _use_pallas(q, k):
         return reference_attention(q, k, v, bias)

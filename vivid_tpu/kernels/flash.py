@@ -1,0 +1,165 @@
+"""Fused flash attention for the VIVID blocks (forward kernel).
+
+Written from scratch for this model's attention shape (reference
+models.py:187-198: pixel-normalized q/k/v, D=64, S in {256, 1024}, cross-KV
+up to 3S, optional epipolar logit bias, and the unconditional model's
+zero-feature sink). Differences from the stock
+jax.experimental.pallas.ops.tpu.flash_attention this replaces on the hot
+path:
+
+  * **In-kernel RMS-normalize** of raw q/k/v tiles (the reference's pixel
+    norm, models.py:37-42 semantics: x / (eps + ||x||/sqrt(D)), fp32). The
+    separate XLA normalize passes over the packed qkv were ~1.4 ms of the
+    ch=64 forward; inside the kernel the normalize is free (VPU work under a
+    bandwidth-bound loop). A standalone Pallas normalize measured as a net
+    LOSS (docs/PERF.md) — owning the consumer is what makes fusion pay.
+  * **Zero-sink term**: `zero_sink_cols` emulates that many all-zero KV
+    columns in closed form (each contributes logit 0 and value 0 — a
+    constant exp(-m)·cols mass in the softmax denominator). This puts the
+    unconditional gnet — half of every guided sampler step — on the flash
+    path; it previously fell back to a full einsum materializing [B,H,S,Sk]
+    logits (blocks.py attention_with_zero_sink).
+  * Bias is the UNSCALED additive logit bias (kernel computes
+    q·k * sm_scale + bias), so callers don't pre-divide by sm_scale.
+
+Backward: `flash_fused` is wrapped in jax.custom_vjp; the backward re-runs
+the unfused composite (XLA normalize -> stock flash kernel, which has its
+own Pallas backward) under jax.vjp — exactly what remat would recompute
+anyway. Numerics match the unfused path to bf16 tolerance (fp32 softmax in
+both; parity-tested in tests/test_flash_fused.py).
+
+Layouts: q [B, H, Sq, D]; k/v [B, H, Sk, D]; bias [B, H, Sq, Sk] or None;
+out [B, H, Sq, D] in v.dtype.
+"""
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, acc_ref, m_ref, l_ref, *,
+            sm_scale: float, norm_eps: Optional[float], zero_sink: int,
+            n_k: int):
+    """Grid (B, H, n_q, n_k); k-loop is the innermost (minor) grid axis, so
+    the online-softmax state lives in VMEM scratch across k steps."""
+    ik = pl.program_id(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    def norm(ref):
+        # fp32 norm math, result back in the input dtype: the QK^T and PV
+        # dots must run at the MXU's bf16 rate (fp32 operands quarter it).
+        x = ref[0, 0]
+        if norm_eps is None:
+            return x
+        x32 = x.astype(jnp.float32)
+        ss = jnp.sum(x32 * x32, axis=-1, keepdims=True)
+        inv_sqrt_d = 1.0 / (x.shape[-1] ** 0.5)
+        return (x32 / (norm_eps + inv_sqrt_d * jnp.sqrt(ss))).astype(x.dtype)
+
+    q = norm(q_ref)                                             # [bq, D]
+    k = norm(k_ref)                                             # [bk, D]
+    v = norm(v_ref)                                             # [bk, D]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * sm_scale
+    if bias_ref is not None:
+        s = s + bias_ref[0, 0].astype(jnp.float32)
+
+    m_prev = m_ref[...]                                         # [bq, 128]
+    l_prev = l_ref[...]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)                  # [bq, 1]
+    m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
+    alpha = jnp.exp(m_prev - m_next)                            # [bq, 128]
+    p = jnp.exp(s - m_next[:, :1])                              # [bq, bk]
+    l_ref[...] = alpha * l_prev + jnp.broadcast_to(
+        jnp.sum(p, axis=-1, keepdims=True), l_prev.shape)
+    m_ref[...] = m_next
+    acc_ref[...] = acc_ref[...] * alpha[:, :1] + jax.lax.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+
+    @pl.when(ik == n_k - 1)
+    def _finalize():
+        m_fin = m_ref[:, :1]
+        l_fin = l_ref[:, :1]
+        if zero_sink:
+            # `zero_sink` all-zero KV columns: logit 0, value 0 -> they only
+            # add exp(0 - m) * cols mass to the denominator (after raising
+            # the running max to at least 0, matching max(m, 0) exactly).
+            m0 = jnp.maximum(m_fin, 0.0)
+            l_fin = l_fin * jnp.exp(m_fin - m0) + zero_sink * jnp.exp(-m0)
+            acc = acc_ref[...] * jnp.exp(m_fin - m0)
+        else:
+            acc = acc_ref[...]
+        o_ref[0, 0] = (acc / l_fin).astype(o_ref.dtype)
+
+
+def flash_fused(q, k, v, bias=None, *, sm_scale: Optional[float] = None,
+                norm_eps: Optional[float] = None, zero_sink: int = 0,
+                block_q: int = 512, block_k: int = 1024,
+                interpret: bool = False):
+    """Forward-only fused attention (see module docstring). Raw (pre-norm)
+    q/k/v when norm_eps is set; already-normalized inputs with
+    norm_eps=None."""
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    block_q = min(block_q, sq)
+    block_k = min(block_k, sk)
+    assert sq % block_q == 0 and sk % block_k == 0, (sq, sk, block_q, block_k)
+    if sm_scale is None:
+        sm_scale = 1.0 / (d ** 0.5)
+    n_q, n_k = sq // block_q, sk // block_k
+
+    kern = functools.partial(_kernel, sm_scale=float(sm_scale),
+                             norm_eps=norm_eps, zero_sink=int(zero_sink),
+                             n_k=n_k)
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, d), lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
+        pl.BlockSpec((1, 1, block_k, d), lambda ib, ih, iq, ik: (ib, ih, ik, 0)),
+        pl.BlockSpec((1, 1, block_k, d), lambda ib, ih, iq, ik: (ib, ih, ik, 0)),
+    ]
+    args = [q, k, v]
+    if bias is not None:
+        in_specs.append(pl.BlockSpec(
+            (1, 1, block_q, block_k), lambda ib, ih, iq, ik: (ib, ih, iq, ik)))
+        args.append(bias)
+        body = kern
+    else:
+        body = lambda qr, kr, vr, *rest: kern(qr, kr, vr, None, *rest)
+
+    # Analytic cost so XLA cost analysis (bench.py's FLOP numerator, the
+    # scheduler) sees through the custom call like it does the stock kernel.
+    cost = pl.CostEstimate(
+        flops=4 * b * h * sq * sk * d + (6 * b * h * (2 * sq + sk) * d
+                                         if norm_eps is not None else 0),
+        transcendentals=b * h * sq * sk,
+        bytes_accessed=(q.size + k.size + v.size + b * h * sq * d)
+        * q.dtype.itemsize + (bias.size * bias.dtype.itemsize
+                              if bias is not None else 0),
+    )
+
+    return pl.pallas_call(
+        body,
+        grid=(b, h, n_q, n_k),
+        cost_estimate=cost,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, block_q, d),
+                               lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, sq, d), v.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),     # acc
+            pltpu.VMEM((block_q, 128), jnp.float32),   # running max
+            pltpu.VMEM((block_q, 128), jnp.float32),   # running denom
+        ],
+        interpret=interpret,
+    )(*args)

@@ -102,9 +102,11 @@ def _packed_qkv_conv(params_conv, x, num_heads, parts):
     return mp_conv_apply(w, x)
 
 
-def _split_qkv(qkv, num_heads, parts):
+def _split_qkv(qkv, num_heads, parts, normalize_parts: bool = True):
     """Internal-packed [B, H, W, parts*C] -> tuple of `parts` tensors
-    [B, heads, S, D] with per-(token, head, part) normalization over D.
+    [B, heads, S, D], per-(token, head, part) normalized over D unless
+    `normalize_parts=False` (the fused flash kernel normalizes in-kernel —
+    kernels/flash.py — so its callers pass raw vectors through).
     One transpose to the attention layout FIRST, then normalize — XLA fuses
     the fp32 RMS-normalize into the transpose pass, and the part slices come
     out as contiguous [B, H, S, D] blocks in the kernels' native layout
@@ -115,7 +117,8 @@ def _split_qkv(qkv, num_heads, parts):
     d = qkv.shape[-1] // (num_heads * parts)
     y = qkv.reshape(b, h * w, parts * num_heads, d)
     y = jnp.swapaxes(y, 1, 2)                    # [B, P*H, S, D]
-    y = normalize(y, axis=-1)
+    if normalize_parts:
+        y = normalize(y, axis=-1)
     y = y.reshape(b, parts, num_heads, h * w, d)
     return tuple(y[:, i] for i in range(parts))
 
@@ -179,32 +182,34 @@ def block_apply(params: dict, cfg: BlockConfig, x, emb,
         x = mp_conv_apply(params["conv_skip"], x)
     x = mp_sum(x, y, t=cfg.res_balance)
 
-    # Attention.
+    # Attention. In inference q/k/v stay RAW (un-normalized) through the
+    # split/concat and attention_from_raw pixel-normalizes per D-vector
+    # in-kernel on the fused flash path (one HBM pass; same math — rowwise
+    # normalization is concat-order invariant). In training the pre-
+    # normalized path is kept: the stock flash kernel has native Pallas
+    # backward kernels, whereas the fused kernel's custom VJP recomputes the
+    # unfused composite (measured +2.5% on the train step).
     if cfg.num_heads != 0:
+        from vivid_tpu.kernels.attention import attention_from_raw
         b, h, w, ch = x.shape
         qkv = _packed_qkv_conv(params["attn_qkv"], x, cfg.num_heads, 3)
         q, k, v = (constrain(t, "heads")
-                   for t in _split_qkv(qkv, cfg.num_heads, 3))
+                   for t in _split_qkv(qkv, cfg.num_heads, 3,
+                                       normalize_parts=train))
 
         bias = None
+        zero_sink = 0
         if cfg.xattn and features == "zeros":
-            # Unconditional model: cross features are exact zeros; use the
-            # closed-form sink instead of materializing 2S zero KV columns.
-            y = attention_with_zero_sink(q, k, v,
-                                         cfg.num_cross_sources * h * w)
-            y = jnp.swapaxes(y, 1, 2).reshape(b, h, w, ch)
-            y = mp_conv_apply(params["attn_proj"], y)
-            x = mp_sum(x, y, t=cfg.attn_balance)
-            if cfg.clip_act is not None:
-                x = jnp.clip(x, -cfg.clip_act, cfg.clip_act)
-            return x
-        if cfg.xattn:
+            # Unconditional model: cross features are exact zeros — a
+            # closed-form probability sink instead of 2S zero KV columns.
+            zero_sink = cfg.num_cross_sources * h * w
+        elif cfg.xattn:
             assert features is not None and len(features) == cfg.num_cross_sources
             ks, vs = [k], [v]
             for feat in features:
                 kv = _packed_qkv_conv(params["x_attn_kv"], feat.astype(x.dtype),
                                       cfg.num_heads, 2)
-                kc, vc = _split_qkv(kv, cfg.num_heads, 2)
+                kc, vc = _split_qkv(kv, cfg.num_heads, 2, normalize_parts=train)
                 ks.append(constrain(kc, "heads"))
                 vs.append(constrain(vc, "heads"))
             s_self = k.shape[2]
@@ -219,7 +224,14 @@ def block_apply(params: dict, cfg: BlockConfig, x, emb,
                     biases.append(ep)  # upstream adds [B, H, Sq, Sk_cross] as-is
                 bias = jnp.concatenate(biases, axis=-1)
 
-        y = attention(q, k, v, bias=bias)
+        if train:
+            y = (attention_with_zero_sink(q, k, v, zero_sink) if zero_sink
+                 else attention(q, k, v, bias=bias))
+        else:
+            from jax.ad_checkpoint import checkpoint_name
+            y = checkpoint_name(
+                attention_from_raw(q, k, v, bias=bias, zero_sink=zero_sink),
+                "attn_out")
         # [B,H,S,D] -> [B,S,H*D]: (head, d) channel packing == torch order.
         y = jnp.swapaxes(y, 1, 2).reshape(b, h, w, ch)
         y = mp_conv_apply(params["attn_proj"], y)
