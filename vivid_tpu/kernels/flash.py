@@ -152,6 +152,10 @@ def flash_fused(q, k, v, bias=None, *, sm_scale: Optional[float] = None,
         body,
         grid=(b, h, n_q, n_k),
         cost_estimate=cost,
+        # Whole-sequence blocks put the fp32 logit tile (up to 12 MB at
+        # bq=1024 x bk=3072) in VMEM; the compiler's default scoped-VMEM
+        # limit is a conservative 16 MB while v5e has 128 MiB physical.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2 ** 20),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, block_q, d),
                                lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
