@@ -65,6 +65,66 @@ def test_interpret_parity(shape, with_bias, eps, zs):
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=0)
 
 
+PACKED_CASES = [
+    # (B, S, H, D, zero_sink)
+    ((2, 256, 2, 64), 0),
+    ((1, 512, 3, 32), 0),
+    ((2, 256, 2, 64), 512),
+    ((1, 1024, 2, 64), 2048),
+]
+
+
+@pytest.mark.parametrize("shape,zs", PACKED_CASES)
+def test_packed_self_interpret_parity(shape, zs):
+    from vivid_tpu.kernels.flash import flash_fused_packed
+    from vivid_tpu.kernels.attention import _xla_self_attention_from_packed
+    B, S, H, D = shape
+    qkv = jax.random.normal(jax.random.PRNGKey(0), (B, S, 3 * H * D),
+                            jnp.float32)
+    got = np.asarray(flash_fused_packed(qkv, H, zero_sink=zs, interpret=True))
+    want = np.asarray(_xla_self_attention_from_packed(qkv, H, zs, 1e-4))
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=0)
+
+
+@pytest.mark.parametrize("B,S,Sf,H,D,n", [(2, 256, 256, 2, 64, 2),
+                                          (1, 512, 256, 3, 32, 1),
+                                          (1, 256, 512, 2, 64, 2)])
+def test_packed_xattn_interpret_parity(B, S, Sf, H, D, n):
+    from vivid_tpu.kernels.flash import flash_fused_packed_xattn
+    from vivid_tpu.kernels.attention import _xla_xattn_from_packed
+    key = jax.random.PRNGKey(0)
+    qkv = jax.random.normal(key, (B, S, 3 * H * D), jnp.float32)
+    feats = tuple(jax.random.normal(jax.random.fold_in(key, i + 1),
+                                    (B, Sf, 2 * H * D), jnp.float32)
+                  for i in range(n))
+    got = np.asarray(flash_fused_packed_xattn(qkv, feats, H, interpret=True))
+    want = np.asarray(_xla_xattn_from_packed(qkv, feats, H, 1e-4))
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=0)
+
+
+def test_packed_backwards_match_autodiff():
+    """Packed custom VJPs: backward equals autodiff of the XLA composite."""
+    from vivid_tpu.kernels.attention import (_packed_bwd, _xattn_packed_bwd,
+                                             _xla_self_attention_from_packed,
+                                             _xla_xattn_from_packed)
+    key = jax.random.PRNGKey(5)
+    qkv = jax.random.normal(key, (1, 64, 3 * 2 * 16), jnp.float32)
+    g = jax.random.normal(jax.random.fold_in(key, 1), (1, 64, 2 * 16),
+                          jnp.float32)
+    (got,) = _packed_bwd(2, 128, 1e-4, qkv, g)
+    want = jax.vjp(lambda x: _xla_self_attention_from_packed(x, 2, 128, 1e-4),
+                   qkv)[1](g)[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    feats = (jax.random.normal(jax.random.fold_in(key, 2), (1, 32, 2 * 2 * 16),
+                               jnp.float32),)
+    gq, gf = _xattn_packed_bwd(2, 1e-4, (qkv, feats), g)
+    wq, wf = jax.vjp(lambda x, fs: _xla_xattn_from_packed(x, fs, 2, 1e-4),
+                     qkv, feats)[1](g)
+    np.testing.assert_allclose(np.asarray(gq), np.asarray(wq), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gf[0]), np.asarray(wf[0]), atol=2e-5)
+
+
 def test_attention_from_raw_cpu_matches_composite():
     """The dispatcher's fallback (active on CPU) must equal normalize +
     plain attention — this is what every golden test runs through."""

@@ -121,6 +121,13 @@ def _usable(spec: ActShardSpec, name: Optional[str], dim: int) -> Optional[str]:
     return name
 
 
+def act_spec_active() -> bool:
+    """True while an act_sharding context is live (trace time). Kernels use
+    this to fall back to GSPMD-partitionable XLA paths (packed-layout Pallas
+    calls can't be partitioned over the channel/head axes)."""
+    return _ACT_SPEC[-1] is not None
+
+
 def tp_heads_axes(q):
     """(mesh, data_axis, tp_axis) when the active act_sharding context shards
     the head axis of [B, heads, S, D] attention inputs; None otherwise.

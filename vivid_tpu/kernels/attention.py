@@ -160,6 +160,123 @@ def attention_from_raw(q, k, v, bias: Optional[jax.Array] = None,
     return _pallas_attention_from_raw(q, k, v, bias, zero_sink, eps)
 
 
+# ---------------------------------------------------------------------------
+# Packed-layout self-attention: q/k/v read straight from the [B, S, 3HD]
+# qkv conv output (part-major channel permutation), output written back
+# (head, d)-packed — no swapaxes passes at all. Self-attention and the
+# unconditional zero-sink blocks only; cross-attention keeps the [B,H,S,D]
+# entry (its KV concat spans multiple source arrays).
+
+def _xla_self_attention_from_packed(qkv, num_heads: int, zero_sink: int,
+                                    eps: float):
+    """Exact unfused equivalent (also the backward for the packed kernel):
+    slice the packed channels, run the raw-attention composite, re-pack."""
+    b, s, c3 = qkv.shape
+    d = c3 // (3 * num_heads)
+    y = jnp.swapaxes(qkv.reshape(b, s, 3 * num_heads, d), 1, 2)
+    q, k, v = (y[:, i * num_heads:(i + 1) * num_heads] for i in range(3))
+    out = _xla_attention_from_raw(q, k, v, None, zero_sink, eps)
+    return jnp.swapaxes(out, 1, 2).reshape(b, s, num_heads * d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _pallas_self_attention_packed(qkv, num_heads: int, zero_sink: int,
+                                  eps: float):
+    from vivid_tpu.kernels.flash import flash_fused_packed
+    return flash_fused_packed(qkv, num_heads, norm_eps=eps,
+                              zero_sink=zero_sink)
+
+
+def _packed_fwd(qkv, num_heads, zero_sink, eps):
+    return _pallas_self_attention_packed(qkv, num_heads, zero_sink, eps), qkv
+
+
+def _packed_bwd(num_heads, zero_sink, eps, qkv, g):
+    _, vjp = jax.vjp(
+        lambda x: _xla_self_attention_from_packed(x, num_heads, zero_sink,
+                                                  eps), qkv)
+    return vjp(g)
+
+
+_pallas_self_attention_packed.defvjp(_packed_fwd, _packed_bwd)
+
+
+def _xla_xattn_from_packed(qkv, feats, num_heads: int, eps: float):
+    """Exact unfused equivalent of the packed cross-attention kernel (also
+    its backward): slice channels, concat KV, run the raw composite."""
+    b, s, c3 = qkv.shape
+    d = c3 // (3 * num_heads)
+    y = jnp.swapaxes(qkv.reshape(b, s, 3 * num_heads, d), 1, 2)
+    q, k, v = (y[:, i * num_heads:(i + 1) * num_heads] for i in range(3))
+    ks, vs = [k], [v]
+    for f in feats:
+        sf = f.shape[1]
+        z = jnp.swapaxes(f.reshape(b, sf, 2 * num_heads, d), 1, 2)
+        ks.append(z[:, :num_heads])
+        vs.append(z[:, num_heads:])
+    out = _xla_attention_from_raw(q, jnp.concatenate(ks, axis=2),
+                                  jnp.concatenate(vs, axis=2), None, 0, eps)
+    return jnp.swapaxes(out, 1, 2).reshape(b, s, num_heads * d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _pallas_xattn_packed(qkv, feats, num_heads: int, eps: float):
+    from vivid_tpu.kernels.flash import flash_fused_packed_xattn
+    return flash_fused_packed_xattn(qkv, feats, num_heads, norm_eps=eps)
+
+
+def _xattn_packed_fwd(qkv, feats, num_heads, eps):
+    return _pallas_xattn_packed(qkv, feats, num_heads, eps), (qkv, feats)
+
+
+def _xattn_packed_bwd(num_heads, eps, res, g):
+    qkv, feats = res
+    _, vjp = jax.vjp(
+        lambda x, fs: _xla_xattn_from_packed(x, fs, num_heads, eps),
+        qkv, feats)
+    return vjp(g)
+
+
+_pallas_xattn_packed.defvjp(_xattn_packed_fwd, _xattn_packed_bwd)
+
+
+def xattn_from_packed(qkv, feats, num_heads: int, eps: float = 1e-4):
+    """Cross-attention over packed conv outputs (see
+    flash_fused_packed_xattn). feats: tuple of [B, Sf, 2*H*D]."""
+    import os
+    from vivid_tpu.core.sharding import act_spec_active
+    s = qkv.shape[1]
+    eligible = (not os.environ.get("VIVID_DISABLE_PALLAS")
+                and not act_spec_active()
+                and jax.devices()[0].platform == "tpu"
+                and 256 <= s <= 2048 and s % 128 == 0
+                and all(f.shape[1] % 128 == 0 for f in feats))
+    if not eligible:
+        return _xla_xattn_from_packed(qkv, feats, num_heads, eps)
+    return _pallas_xattn_packed(qkv, tuple(feats), num_heads, eps)
+
+
+def self_attention_from_packed(qkv, num_heads: int, zero_sink: int = 0,
+                               eps: float = 1e-4):
+    """qkv [B, S, 3*H*D] part-major-packed -> [B, S, H*D] attention output.
+    Pallas packed kernel on TPU (zero layout copies); exact XLA composite
+    elsewhere and under act_sharding (the packed call isn't partitionable
+    over channels)."""
+    import os
+    from vivid_tpu.core.sharding import act_spec_active
+    b, s, c3 = qkv.shape
+    d = c3 // (3 * num_heads)
+    # VMEM bound: the whole-sequence fp32 logit tile is S^2 * 4 bytes.
+    eligible = (not os.environ.get("VIVID_DISABLE_PALLAS")
+                and not act_spec_active()
+                and jax.devices()[0].platform == "tpu"
+                and 256 <= s <= 2048 and s % 128 == 0
+                and c3 == 3 * num_heads * d)
+    if not eligible:
+        return _xla_self_attention_from_packed(qkv, num_heads, zero_sink, eps)
+    return _pallas_self_attention_packed(qkv, num_heads, zero_sink, eps)
+
+
 def _attention_local(q, k, v, bias: Optional[jax.Array] = None):
     if not _use_pallas(q, k):
         return reference_attention(q, k, v, bias)

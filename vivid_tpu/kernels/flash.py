@@ -104,6 +104,161 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, acc_ref, m_ref, l_ref, *,
         o_ref[0, 0] = (acc / l_fin).astype(o_ref.dtype)
 
 
+def _kernel_packed(x_ref, o_ref, *, H: int, d: int, sm_scale: float,
+                   norm_eps: Optional[float], zero_sink: int):
+    """Whole-sequence self-attention on one batch row of the packed conv
+    output. x_ref [1, S, 3*H*D] part-major; heads run as a static loop with
+    lane slices (the whole per-batch slice is <1 MB — q, k and v are the
+    SAME rows, so there is nothing to tile)."""
+    x = x_ref[0]                                            # [S, 3HD]
+
+    def norm(sl):
+        if norm_eps is None:
+            return sl
+        s32 = sl.astype(jnp.float32)
+        ss = jnp.sum(s32 * s32, axis=-1, keepdims=True)
+        return (s32 / (norm_eps + jnp.sqrt(ss) / (d ** 0.5))).astype(sl.dtype)
+
+    for h in range(H):
+        q = norm(x[:, h * d:(h + 1) * d])
+        k = norm(x[:, (H + h) * d:(H + h + 1) * d])
+        v = norm(x[:, (2 * H + h) * d:(2 * H + h + 1) * d])
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * sm_scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        if zero_sink:
+            m = jnp.maximum(m, 0.0)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        if zero_sink:
+            l = l + zero_sink * jnp.exp(-m)
+        out = jax.lax.dot(p.astype(v.dtype), v,
+                          preferred_element_type=jnp.float32) / l
+        o_ref[0, :, h * d:(h + 1) * d] = out.astype(o_ref.dtype)
+
+
+def flash_fused_packed(qkv, num_heads: int, *, sm_scale: Optional[float] = None,
+                       norm_eps: Optional[float] = 1e-4, zero_sink: int = 0,
+                       interpret: bool = False):
+    """Self-attention straight off the packed qkv conv output.
+
+    qkv: [B, S, 3*H*D] with channels permuted part-major (part, head, d) —
+    exactly what the blocks' `_packed_qkv_conv` emits; output [B, S, H*D]
+    in the attn_proj conv's expected (head, d) channel order. Zero layout
+    copies on either side — this kills the [B,S,PH,D]<->[B,H,S,D] swapaxes
+    passes (~2.5 ms of the traced ch=64 forward). One grid step per batch
+    row: the whole packed slice is S x 3HD (0.75 MB at the hot shape), and
+    the fp32 logit tile [S, S] is 4 MB at S=1024 — direct softmax, no
+    online-softmax machinery."""
+    b, s, c3 = qkv.shape
+    d = c3 // (3 * num_heads)
+    assert c3 == 3 * num_heads * d
+    if sm_scale is None:
+        sm_scale = 1.0 / (d ** 0.5)
+    H = num_heads
+
+    kern = functools.partial(_kernel_packed, H=H, d=d,
+                             sm_scale=float(sm_scale), norm_eps=norm_eps,
+                             zero_sink=int(zero_sink))
+    cost = pl.CostEstimate(
+        flops=4 * b * H * s * s * d + (9 * b * s * c3
+                                       if norm_eps is not None else 0),
+        transcendentals=b * H * s * s,
+        bytes_accessed=(qkv.size + b * s * H * d) * qkv.dtype.itemsize,
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, s, c3), lambda ib: (ib, 0, 0))],
+        out_specs=pl.BlockSpec((1, s, H * d), lambda ib: (ib, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, s, H * d), qkv.dtype),
+        cost_estimate=cost,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2 ** 20),
+        interpret=interpret,
+    )(qkv)
+
+
+def _kernel_packed_xattn(x_ref, *rest, H: int, d: int, n_src: int,
+                         sm_scale: float, norm_eps: Optional[float]):
+    """Cross-attention on packed rows: x_ref [1, S, 3HD] (q + self-kv),
+    followed by n_src feat refs [1, Sf, 2HD] ((k, v) part-major). Joint
+    softmax over the self segment and every cross segment — numerically
+    identical to attention over the concatenated KV."""
+    f_refs, o_ref = rest[:n_src], rest[n_src]
+    x = x_ref[0]
+
+    def norm(sl):
+        if norm_eps is None:
+            return sl
+        s32 = sl.astype(jnp.float32)
+        ss = jnp.sum(s32 * s32, axis=-1, keepdims=True)
+        return (s32 / (norm_eps + jnp.sqrt(ss) / (d ** 0.5))).astype(sl.dtype)
+
+    for h in range(H):
+        q = norm(x[:, h * d:(h + 1) * d])
+        ks = [norm(x[:, (H + h) * d:(H + h + 1) * d])]
+        vs = [norm(x[:, (2 * H + h) * d:(2 * H + h + 1) * d])]
+        for fr in f_refs:
+            f = fr[0]
+            ks.append(norm(f[:, h * d:(h + 1) * d]))
+            vs.append(norm(f[:, (H + h) * d:(H + h + 1) * d]))
+        logits = [jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+                  * sm_scale for k in ks]
+        m = logits[0].max(axis=-1, keepdims=True)
+        for s_ in logits[1:]:
+            m = jnp.maximum(m, s_.max(axis=-1, keepdims=True))
+        ps = [jnp.exp(s_ - m) for s_ in logits]
+        l = sum(p.sum(axis=-1, keepdims=True) for p in ps)
+        out = sum(jax.lax.dot(p.astype(v.dtype), v,
+                              preferred_element_type=jnp.float32)
+                  for p, v in zip(ps, vs)) / l
+        o_ref[0, :, h * d:(h + 1) * d] = out.astype(o_ref.dtype)
+
+
+def flash_fused_packed_xattn(qkv, feats, num_heads: int, *,
+                             sm_scale: Optional[float] = None,
+                             norm_eps: Optional[float] = 1e-4,
+                             interpret: bool = False):
+    """Cross-attention straight off packed conv outputs: qkv [B, S, 3*H*D]
+    (part-major q/k/v), feats: sequence of [B, Sf, 2*H*D] (part-major k/v
+    from each cross source). Output [B, S, H*D] (head, d)-packed. No bias
+    support — the epipolar-bias configs take the [B,H,S,D] path."""
+    b, s, c3 = qkv.shape
+    d = c3 // (3 * num_heads)
+    H = num_heads
+    assert c3 == 3 * H * d
+    for f in feats:
+        assert f.shape[0] == b and f.shape[2] == 2 * H * d, f.shape
+    if sm_scale is None:
+        sm_scale = 1.0 / (d ** 0.5)
+    sk_total = s + sum(f.shape[1] for f in feats)
+
+    kern = functools.partial(_kernel_packed_xattn, H=H, d=d,
+                             n_src=len(feats), sm_scale=float(sm_scale),
+                             norm_eps=norm_eps)
+    cost = pl.CostEstimate(
+        flops=4 * b * H * s * sk_total * d,
+        transcendentals=b * H * s * sk_total,
+        bytes_accessed=(qkv.size + sum(f.size for f in feats)
+                        + b * s * H * d) * qkv.dtype.itemsize,
+    )
+    in_specs = [pl.BlockSpec((1, s, c3), lambda ib: (ib, 0, 0))]
+    for f in feats:
+        in_specs.append(pl.BlockSpec((1, f.shape[1], f.shape[2]),
+                                     lambda ib: (ib, 0, 0)))
+    return pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, s, H * d), lambda ib: (ib, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, s, H * d), qkv.dtype),
+        cost_estimate=cost,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2 ** 20),
+        interpret=interpret,
+    )(qkv, *feats)
+
+
 def flash_fused(q, k, v, bias=None, *, sm_scale: Optional[float] = None,
                 norm_eps: Optional[float] = None, zero_sink: int = 0,
                 block_q: int = 512, block_k: int = 1024,

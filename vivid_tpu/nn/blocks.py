@@ -190,9 +190,44 @@ def block_apply(params: dict, cfg: BlockConfig, x, emb,
     # backward kernels, whereas the fused kernel's custom VJP recomputes the
     # unfused composite (measured +2.5% on the train step).
     if cfg.num_heads != 0:
-        from vivid_tpu.kernels.attention import attention_from_raw
+        from vivid_tpu.core.sharding import act_spec_active
+        from vivid_tpu.kernels.attention import (attention_from_raw,
+                                                 self_attention_from_packed)
         b, h, w, ch = x.shape
         qkv = _packed_qkv_conv(params["attn_qkv"], x, cfg.num_heads, 3)
+
+        # Inference fast paths: the packed kernels read q/k/v straight from
+        # the conv outputs and write (head, d)-packed — the reshapes below
+        # are free views, no swapaxes passes. Under act_sharding keep the
+        # constrained path; the epipolar-bias configs keep the [B,H,S,D]
+        # path (the packed kernels carry no bias).
+        use_packed = not train and not act_spec_active()
+        has_bias = ("epipolar_mixing" in params and src_geometries is not None
+                    and cfg.xattn and features != "zeros")
+        if use_packed and not has_bias:
+            from jax.ad_checkpoint import checkpoint_name
+            from vivid_tpu.kernels.attention import xattn_from_packed
+            flat_qkv = qkv.reshape(b, h * w, qkv.shape[-1])
+            if not cfg.xattn or features == "zeros":
+                sink = cfg.num_cross_sources * h * w if cfg.xattn else 0
+                y = self_attention_from_packed(flat_qkv, cfg.num_heads,
+                                               zero_sink=sink)
+            else:
+                assert features is not None and \
+                    len(features) == cfg.num_cross_sources
+                kvs = tuple(
+                    _packed_qkv_conv(params["x_attn_kv"],
+                                     feat.astype(x.dtype), cfg.num_heads, 2)
+                    .reshape(b, feat.shape[1] * feat.shape[2], -1)
+                    for feat in features)
+                y = xattn_from_packed(flat_qkv, kvs, cfg.num_heads)
+            y = checkpoint_name(y, "attn_out").reshape(b, h, w, ch)
+            y = mp_conv_apply(params["attn_proj"], y)
+            x = mp_sum(x, y, t=cfg.attn_balance)
+            if cfg.clip_act is not None:
+                x = jnp.clip(x, -cfg.clip_act, cfg.clip_act)
+            return x
+
         q, k, v = (constrain(t, "heads")
                    for t in _split_qkv(qkv, cfg.num_heads, 3,
                                        normalize_parts=train))
