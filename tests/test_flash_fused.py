@@ -86,10 +86,13 @@ def test_packed_self_interpret_parity(shape, zs):
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=0)
 
 
-@pytest.mark.parametrize("B,S,Sf,H,D,n", [(2, 256, 256, 2, 64, 2),
-                                          (1, 512, 256, 3, 32, 1),
-                                          (1, 256, 512, 2, 64, 2)])
-def test_packed_xattn_interpret_parity(B, S, Sf, H, D, n):
+@pytest.mark.parametrize("B,S,Sf,H,D,n,with_bias",
+                         [(2, 256, 256, 2, 64, 2, False),
+                          (1, 512, 256, 3, 32, 1, False),
+                          (1, 256, 512, 2, 64, 2, False),
+                          (2, 256, 256, 2, 64, 2, True),
+                          (1, 256, 512, 2, 32, 1, True)])
+def test_packed_xattn_interpret_parity(B, S, Sf, H, D, n, with_bias):
     from vivid_tpu.kernels.flash import flash_fused_packed_xattn
     from vivid_tpu.kernels.attention import _xla_xattn_from_packed
     key = jax.random.PRNGKey(0)
@@ -97,8 +100,12 @@ def test_packed_xattn_interpret_parity(B, S, Sf, H, D, n):
     feats = tuple(jax.random.normal(jax.random.fold_in(key, i + 1),
                                     (B, Sf, 2 * H * D), jnp.float32)
                   for i in range(n))
-    got = np.asarray(flash_fused_packed_xattn(qkv, feats, H, interpret=True))
-    want = np.asarray(_xla_xattn_from_packed(qkv, feats, H, 1e-4))
+    biases = tuple(0.5 * jax.random.normal(jax.random.fold_in(key, 10 + i),
+                                           (B, H, S, Sf), jnp.float32)
+                   for i in range(n)) if with_bias else ()
+    got = np.asarray(flash_fused_packed_xattn(qkv, feats, H, biases=biases,
+                                              interpret=True))
+    want = np.asarray(_xla_xattn_from_packed(qkv, feats, biases, H, 1e-4))
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=0)
 
 
@@ -118,11 +125,15 @@ def test_packed_backwards_match_autodiff():
 
     feats = (jax.random.normal(jax.random.fold_in(key, 2), (1, 32, 2 * 2 * 16),
                                jnp.float32),)
-    gq, gf = _xattn_packed_bwd(2, 1e-4, (qkv, feats), g)
-    wq, wf = jax.vjp(lambda x, fs: _xla_xattn_from_packed(x, fs, 2, 1e-4),
-                     qkv, feats)[1](g)
+    biases = (0.3 * jax.random.normal(jax.random.fold_in(key, 3),
+                                      (1, 2, 64, 32), jnp.float32),)
+    gq, gf, gb = _xattn_packed_bwd(2, 1e-4, (qkv, feats, biases), g)
+    wq, wf, wb = jax.vjp(
+        lambda x, fs, bs: _xla_xattn_from_packed(x, fs, bs, 2, 1e-4),
+        qkv, feats, biases)[1](g)
     np.testing.assert_allclose(np.asarray(gq), np.asarray(wq), atol=2e-5)
     np.testing.assert_allclose(np.asarray(gf[0]), np.asarray(wf[0]), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gb[0]), np.asarray(wb[0]), atol=2e-5)
 
 
 def test_attention_from_raw_cpu_matches_composite():

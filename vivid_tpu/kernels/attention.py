@@ -201,9 +201,10 @@ def _packed_bwd(num_heads, zero_sink, eps, qkv, g):
 _pallas_self_attention_packed.defvjp(_packed_fwd, _packed_bwd)
 
 
-def _xla_xattn_from_packed(qkv, feats, num_heads: int, eps: float):
+def _xla_xattn_from_packed(qkv, feats, biases, num_heads: int, eps: float):
     """Exact unfused equivalent of the packed cross-attention kernel (also
-    its backward): slice channels, concat KV, run the raw composite."""
+    its backward): slice channels, concat KV (+ zero-padded self bias), run
+    the raw composite."""
     b, s, c3 = qkv.shape
     d = c3 // (3 * num_heads)
     y = jnp.swapaxes(qkv.reshape(b, s, 3 * num_heads, d), 1, 2)
@@ -214,35 +215,44 @@ def _xla_xattn_from_packed(qkv, feats, num_heads: int, eps: float):
         z = jnp.swapaxes(f.reshape(b, sf, 2 * num_heads, d), 1, 2)
         ks.append(z[:, :num_heads])
         vs.append(z[:, num_heads:])
+    bias = None
+    if biases:
+        bias = jnp.concatenate(
+            [jnp.zeros((b, num_heads, s, s), jnp.float32)]
+            + [bi.astype(jnp.float32) for bi in biases], axis=-1)
     out = _xla_attention_from_raw(q, jnp.concatenate(ks, axis=2),
-                                  jnp.concatenate(vs, axis=2), None, 0, eps)
+                                  jnp.concatenate(vs, axis=2), bias, 0, eps)
     return jnp.swapaxes(out, 1, 2).reshape(b, s, num_heads * d)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _pallas_xattn_packed(qkv, feats, num_heads: int, eps: float):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _pallas_xattn_packed(qkv, feats, biases, num_heads: int, eps: float):
     from vivid_tpu.kernels.flash import flash_fused_packed_xattn
-    return flash_fused_packed_xattn(qkv, feats, num_heads, norm_eps=eps)
+    return flash_fused_packed_xattn(qkv, feats, num_heads, biases=biases,
+                                    norm_eps=eps)
 
 
-def _xattn_packed_fwd(qkv, feats, num_heads, eps):
-    return _pallas_xattn_packed(qkv, feats, num_heads, eps), (qkv, feats)
+def _xattn_packed_fwd(qkv, feats, biases, num_heads, eps):
+    return _pallas_xattn_packed(qkv, feats, biases, num_heads, eps), \
+        (qkv, feats, biases)
 
 
 def _xattn_packed_bwd(num_heads, eps, res, g):
-    qkv, feats = res
+    qkv, feats, biases = res
     _, vjp = jax.vjp(
-        lambda x, fs: _xla_xattn_from_packed(x, fs, num_heads, eps),
-        qkv, feats)
+        lambda x, fs, bs: _xla_xattn_from_packed(x, fs, bs, num_heads, eps),
+        qkv, feats, biases)
     return vjp(g)
 
 
 _pallas_xattn_packed.defvjp(_xattn_packed_fwd, _xattn_packed_bwd)
 
 
-def xattn_from_packed(qkv, feats, num_heads: int, eps: float = 1e-4):
+def xattn_from_packed(qkv, feats, num_heads: int, biases=(),
+                      eps: float = 1e-4):
     """Cross-attention over packed conv outputs (see
-    flash_fused_packed_xattn). feats: tuple of [B, Sf, 2*H*D]."""
+    flash_fused_packed_xattn). feats: tuple of [B, Sf, 2*H*D]; biases: ()
+    or one UNSCALED [B, H, S, Sf] logit bias per source (epipolar)."""
     import os
     from vivid_tpu.core.sharding import act_spec_active
     s = qkv.shape[1]
@@ -252,8 +262,10 @@ def xattn_from_packed(qkv, feats, num_heads: int, eps: float = 1e-4):
                 and 256 <= s <= 2048 and s % 128 == 0
                 and all(f.shape[1] % 128 == 0 for f in feats))
     if not eligible:
-        return _xla_xattn_from_packed(qkv, feats, num_heads, eps)
-    return _pallas_xattn_packed(qkv, tuple(feats), num_heads, eps)
+        return _xla_xattn_from_packed(qkv, feats, tuple(biases), num_heads,
+                                      eps)
+    return _pallas_xattn_packed(qkv, tuple(feats), tuple(biases), num_heads,
+                                eps)
 
 
 def self_attention_from_packed(qkv, num_heads: int, zero_sink: int = 0,

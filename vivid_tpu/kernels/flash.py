@@ -179,12 +179,17 @@ def flash_fused_packed(qkv, num_heads: int, *, sm_scale: Optional[float] = None,
 
 
 def _kernel_packed_xattn(x_ref, *rest, H: int, d: int, n_src: int,
-                         sm_scale: float, norm_eps: Optional[float]):
+                         n_bias: int, sm_scale: float,
+                         norm_eps: Optional[float]):
     """Cross-attention on packed rows: x_ref [1, S, 3HD] (q + self-kv),
-    followed by n_src feat refs [1, Sf, 2HD] ((k, v) part-major). Joint
-    softmax over the self segment and every cross segment — numerically
-    identical to attention over the concatenated KV."""
-    f_refs, o_ref = rest[:n_src], rest[n_src]
+    then n_src feat refs [1, Sf, 2HD] ((k, v) part-major), then n_bias
+    (0 or n_src) per-source logit-bias refs [1, H, S, Sf] (the epipolar
+    path; the SELF segment carries no bias — blocks.py concatenates a zero
+    block there). Joint softmax over the self segment and every cross
+    segment — numerically identical to attention over the concatenated KV."""
+    f_refs = rest[:n_src]
+    b_refs = rest[n_src:n_src + n_bias]
+    o_ref = rest[n_src + n_bias]
     x = x_ref[0]
 
     def norm(sl):
@@ -205,6 +210,8 @@ def _kernel_packed_xattn(x_ref, *rest, H: int, d: int, n_src: int,
         logits = [jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                       preferred_element_type=jnp.float32)
                   * sm_scale for k in ks]
+        for i, br in enumerate(b_refs):
+            logits[1 + i] = logits[1 + i] + br[0, h].astype(jnp.float32)
         m = logits[0].max(axis=-1, keepdims=True)
         for s_ in logits[1:]:
             m = jnp.maximum(m, s_.max(axis=-1, keepdims=True))
@@ -216,37 +223,46 @@ def _kernel_packed_xattn(x_ref, *rest, H: int, d: int, n_src: int,
         o_ref[0, :, h * d:(h + 1) * d] = out.astype(o_ref.dtype)
 
 
-def flash_fused_packed_xattn(qkv, feats, num_heads: int, *,
+def flash_fused_packed_xattn(qkv, feats, num_heads: int, *, biases=None,
                              sm_scale: Optional[float] = None,
                              norm_eps: Optional[float] = 1e-4,
                              interpret: bool = False):
     """Cross-attention straight off packed conv outputs: qkv [B, S, 3*H*D]
     (part-major q/k/v), feats: sequence of [B, Sf, 2*H*D] (part-major k/v
-    from each cross source). Output [B, S, H*D] (head, d)-packed. No bias
-    support — the epipolar-bias configs take the [B,H,S,D] path."""
+    from each cross source), biases: optional per-source UNSCALED logit
+    biases [B, H, S, Sf] (epipolar path; self segment is bias-free).
+    Output [B, S, H*D] (head, d)-packed."""
     b, s, c3 = qkv.shape
     d = c3 // (3 * num_heads)
     H = num_heads
     assert c3 == 3 * H * d
     for f in feats:
         assert f.shape[0] == b and f.shape[2] == 2 * H * d, f.shape
+    biases = tuple(biases) if biases else ()
+    assert not biases or len(biases) == len(feats)
+    for bi, f in zip(biases, feats):
+        assert bi.shape == (b, H, s, f.shape[1]), (bi.shape, f.shape)
     if sm_scale is None:
         sm_scale = 1.0 / (d ** 0.5)
     sk_total = s + sum(f.shape[1] for f in feats)
 
     kern = functools.partial(_kernel_packed_xattn, H=H, d=d,
-                             n_src=len(feats), sm_scale=float(sm_scale),
-                             norm_eps=norm_eps)
+                             n_src=len(feats), n_bias=len(biases),
+                             sm_scale=float(sm_scale), norm_eps=norm_eps)
     cost = pl.CostEstimate(
         flops=4 * b * H * s * sk_total * d,
         transcendentals=b * H * s * sk_total,
         bytes_accessed=(qkv.size + sum(f.size for f in feats)
-                        + b * s * H * d) * qkv.dtype.itemsize,
+                        + b * s * H * d) * qkv.dtype.itemsize
+        + sum(bi.size * bi.dtype.itemsize for bi in biases),
     )
     in_specs = [pl.BlockSpec((1, s, c3), lambda ib: (ib, 0, 0))]
     for f in feats:
         in_specs.append(pl.BlockSpec((1, f.shape[1], f.shape[2]),
                                      lambda ib: (ib, 0, 0)))
+    for bi in biases:
+        in_specs.append(pl.BlockSpec((1, H, s, bi.shape[3]),
+                                     lambda ib: (ib, 0, 0, 0)))
     return pl.pallas_call(
         kern,
         grid=(b,),
@@ -256,7 +272,7 @@ def flash_fused_packed_xattn(qkv, feats, num_heads: int, *,
         cost_estimate=cost,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2 ** 20),
         interpret=interpret,
-    )(qkv, *feats)
+    )(qkv, *feats, *biases)
 
 
 def flash_fused(q, k, v, bias=None, *, sm_scale: Optional[float] = None,

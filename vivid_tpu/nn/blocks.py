@@ -202,9 +202,7 @@ def block_apply(params: dict, cfg: BlockConfig, x, emb,
         # constrained path; the epipolar-bias configs keep the [B,H,S,D]
         # path (the packed kernels carry no bias).
         use_packed = not train and not act_spec_active()
-        has_bias = ("epipolar_mixing" in params and src_geometries is not None
-                    and cfg.xattn and features != "zeros")
-        if use_packed and not has_bias:
+        if use_packed:
             from jax.ad_checkpoint import checkpoint_name
             from vivid_tpu.kernels.attention import xattn_from_packed
             flat_qkv = qkv.reshape(b, h * w, qkv.shape[-1])
@@ -220,7 +218,16 @@ def block_apply(params: dict, cfg: BlockConfig, x, emb,
                                      feat.astype(x.dtype), cfg.num_heads, 2)
                     .reshape(b, feat.shape[1] * feat.shape[2], -1)
                     for feat in features)
-                y = xattn_from_packed(flat_qkv, kvs, cfg.num_heads)
+                ep_biases = ()
+                if "epipolar_mixing" in params and src_geometries is not None:
+                    patch = cfg.imsize // h
+                    ep_biases = tuple(
+                        get_epipolar_attn(
+                            get_epipolar_dist(geo, cfg.imsize, patch),
+                            params["epipolar_mixing"], patch_size=patch)
+                        for geo in src_geometries)
+                y = xattn_from_packed(flat_qkv, kvs, cfg.num_heads,
+                                      biases=ep_biases)
             y = checkpoint_name(y, "attn_out").reshape(b, h, w, ch)
             y = mp_conv_apply(params["attn_proj"], y)
             x = mp_sum(x, y, t=cfg.attn_balance)
