@@ -149,11 +149,16 @@ def attention_from_raw(q, k, v, bias: Optional[jax.Array] = None,
     """Attention over UN-normalized q/k/v [B, H, S, D] (the blocks' packed
     qkv split straight from the conv): pixel-normalize each D-vector, then
     softmax attention, with optional unscaled logit bias or `zero_sink`
-    all-zero KV columns (models.py:727-736 uncond cross features)."""
-    from vivid_tpu.core.sharding import tp_heads_axes
-    if tp_heads_axes(q) is not None:
-        # GSPMD partitions the XLA composite; fused_attention inside it
-        # handles the per-shard Pallas dispatch via shard_map.
+    all-zero KV columns (models.py:727-736 uncond cross features) — mutually
+    exclusive (the XLA composite and backward have no biased-sink form)."""
+    from vivid_tpu.core.sharding import act_spec_active
+    assert bias is None or not zero_sink, \
+        "bias and zero_sink are mutually exclusive"
+    if act_spec_active():
+        # GSPMD partitions the XLA composite (any sharded program, not just
+        # tp: a Pallas custom call in an sp-sharded graph forces gathers);
+        # fused_attention inside it still does per-shard Pallas via
+        # shard_map when tp shards the heads.
         return _xla_attention_from_raw(q, k, v, bias, zero_sink, eps)
     if not _use_pallas(q, k):
         return _xla_attention_from_raw(q, k, v, bias, zero_sink, eps)
@@ -248,20 +253,27 @@ def _xattn_packed_bwd(num_heads, eps, res, g):
 _pallas_xattn_packed.defvjp(_xattn_packed_fwd, _xattn_packed_bwd)
 
 
+def _packed_eligible(s: int, extra_lens=()) -> bool:
+    """Shared gate for the packed whole-row kernels: TPU, no act_sharding
+    (the packed custom calls aren't partitionable over channels), and
+    sequence lengths that fit the single-block VMEM budget (the fp32 logit
+    tile is S*Sk*4 bytes) on lane-aligned boundaries."""
+    import os
+    from vivid_tpu.core.sharding import act_spec_active
+    if os.environ.get("VIVID_DISABLE_PALLAS") or act_spec_active():
+        return False
+    if jax.devices()[0].platform != "tpu":
+        return False
+    return (256 <= s <= 2048 and s % 128 == 0
+            and all(sf % 128 == 0 for sf in extra_lens))
+
+
 def xattn_from_packed(qkv, feats, num_heads: int, biases=(),
                       eps: float = 1e-4):
     """Cross-attention over packed conv outputs (see
     flash_fused_packed_xattn). feats: tuple of [B, Sf, 2*H*D]; biases: ()
     or one UNSCALED [B, H, S, Sf] logit bias per source (epipolar)."""
-    import os
-    from vivid_tpu.core.sharding import act_spec_active
-    s = qkv.shape[1]
-    eligible = (not os.environ.get("VIVID_DISABLE_PALLAS")
-                and not act_spec_active()
-                and jax.devices()[0].platform == "tpu"
-                and 256 <= s <= 2048 and s % 128 == 0
-                and all(f.shape[1] % 128 == 0 for f in feats))
-    if not eligible:
+    if not _packed_eligible(qkv.shape[1], [f.shape[1] for f in feats]):
         return _xla_xattn_from_packed(qkv, feats, tuple(biases), num_heads,
                                       eps)
     return _pallas_xattn_packed(qkv, tuple(feats), tuple(biases), num_heads,
@@ -274,17 +286,9 @@ def self_attention_from_packed(qkv, num_heads: int, zero_sink: int = 0,
     Pallas packed kernel on TPU (zero layout copies); exact XLA composite
     elsewhere and under act_sharding (the packed call isn't partitionable
     over channels)."""
-    import os
-    from vivid_tpu.core.sharding import act_spec_active
     b, s, c3 = qkv.shape
-    d = c3 // (3 * num_heads)
-    # VMEM bound: the whole-sequence fp32 logit tile is S^2 * 4 bytes.
-    eligible = (not os.environ.get("VIVID_DISABLE_PALLAS")
-                and not act_spec_active()
-                and jax.devices()[0].platform == "tpu"
-                and 256 <= s <= 2048 and s % 128 == 0
-                and c3 == 3 * num_heads * d)
-    if not eligible:
+    assert c3 % (3 * num_heads) == 0
+    if not _packed_eligible(s):
         return _xla_self_attention_from_packed(qkv, num_heads, zero_sink, eps)
     return _pallas_self_attention_packed(qkv, num_heads, zero_sink, eps)
 

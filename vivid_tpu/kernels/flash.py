@@ -43,6 +43,18 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
+def _rms_norm(x, norm_eps: Optional[float]):
+    """Reference pixel norm (mp.normalize semantics) on a 2-D tile, fp32
+    math, result back in the input dtype: the QK^T and PV dots must run at
+    the MXU's bf16 rate (fp32 operands quarter it)."""
+    if norm_eps is None:
+        return x
+    x32 = x.astype(jnp.float32)
+    ss = jnp.sum(x32 * x32, axis=-1, keepdims=True)
+    inv_sqrt_d = 1.0 / (x.shape[-1] ** 0.5)
+    return (x32 / (norm_eps + inv_sqrt_d * jnp.sqrt(ss))).astype(x.dtype)
+
+
 def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, acc_ref, m_ref, l_ref, *,
             sm_scale: float, norm_eps: Optional[float], zero_sink: int,
             n_k: int):
@@ -56,20 +68,9 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, acc_ref, m_ref, l_ref, *,
         m_ref[...] = jnp.full_like(m_ref, NEG_INF)
         l_ref[...] = jnp.zeros_like(l_ref)
 
-    def norm(ref):
-        # fp32 norm math, result back in the input dtype: the QK^T and PV
-        # dots must run at the MXU's bf16 rate (fp32 operands quarter it).
-        x = ref[0, 0]
-        if norm_eps is None:
-            return x
-        x32 = x.astype(jnp.float32)
-        ss = jnp.sum(x32 * x32, axis=-1, keepdims=True)
-        inv_sqrt_d = 1.0 / (x.shape[-1] ** 0.5)
-        return (x32 / (norm_eps + inv_sqrt_d * jnp.sqrt(ss))).astype(x.dtype)
-
-    q = norm(q_ref)                                             # [bq, D]
-    k = norm(k_ref)                                             # [bk, D]
-    v = norm(v_ref)                                             # [bk, D]
+    q = _rms_norm(q_ref[0, 0], norm_eps)                        # [bq, D]
+    k = _rms_norm(k_ref[0, 0], norm_eps)                        # [bk, D]
+    v = _rms_norm(v_ref[0, 0], norm_eps)                        # [bk, D]
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * sm_scale
@@ -112,17 +113,10 @@ def _kernel_packed(x_ref, o_ref, *, H: int, d: int, sm_scale: float,
     SAME rows, so there is nothing to tile)."""
     x = x_ref[0]                                            # [S, 3HD]
 
-    def norm(sl):
-        if norm_eps is None:
-            return sl
-        s32 = sl.astype(jnp.float32)
-        ss = jnp.sum(s32 * s32, axis=-1, keepdims=True)
-        return (s32 / (norm_eps + jnp.sqrt(ss) / (d ** 0.5))).astype(sl.dtype)
-
     for h in range(H):
-        q = norm(x[:, h * d:(h + 1) * d])
-        k = norm(x[:, (H + h) * d:(H + h + 1) * d])
-        v = norm(x[:, (2 * H + h) * d:(2 * H + h + 1) * d])
+        q = _rms_norm(x[:, h * d:(h + 1) * d], norm_eps)
+        k = _rms_norm(x[:, (H + h) * d:(H + h + 1) * d], norm_eps)
+        v = _rms_norm(x[:, (2 * H + h) * d:(2 * H + h + 1) * d], norm_eps)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * sm_scale
         m = jnp.max(s, axis=-1, keepdims=True)
@@ -192,21 +186,14 @@ def _kernel_packed_xattn(x_ref, *rest, H: int, d: int, n_src: int,
     o_ref = rest[n_src + n_bias]
     x = x_ref[0]
 
-    def norm(sl):
-        if norm_eps is None:
-            return sl
-        s32 = sl.astype(jnp.float32)
-        ss = jnp.sum(s32 * s32, axis=-1, keepdims=True)
-        return (s32 / (norm_eps + jnp.sqrt(ss) / (d ** 0.5))).astype(sl.dtype)
-
     for h in range(H):
-        q = norm(x[:, h * d:(h + 1) * d])
-        ks = [norm(x[:, (H + h) * d:(H + h + 1) * d])]
-        vs = [norm(x[:, (2 * H + h) * d:(2 * H + h + 1) * d])]
+        q = _rms_norm(x[:, h * d:(h + 1) * d], norm_eps)
+        ks = [_rms_norm(x[:, (H + h) * d:(H + h + 1) * d], norm_eps)]
+        vs = [_rms_norm(x[:, (2 * H + h) * d:(2 * H + h + 1) * d], norm_eps)]
         for fr in f_refs:
             f = fr[0]
-            ks.append(norm(f[:, h * d:(h + 1) * d]))
-            vs.append(norm(f[:, (H + h) * d:(H + h + 1) * d]))
+            ks.append(_rms_norm(f[:, h * d:(h + 1) * d], norm_eps))
+            vs.append(_rms_norm(f[:, (H + h) * d:(H + h + 1) * d], norm_eps))
         logits = [jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                       preferred_element_type=jnp.float32)
                   * sm_scale for k in ks]
@@ -250,7 +237,8 @@ def flash_fused_packed_xattn(qkv, feats, num_heads: int, *, biases=None,
                              n_src=len(feats), n_bias=len(biases),
                              sm_scale=float(sm_scale), norm_eps=norm_eps)
     cost = pl.CostEstimate(
-        flops=4 * b * H * s * sk_total * d,
+        flops=4 * b * H * s * sk_total * d + (3 * b * s * c3
+                                              if norm_eps is not None else 0),
         transcendentals=b * H * s * sk_total,
         bytes_accessed=(qkv.size + sum(f.size for f in feats)
                         + b * s * H * d) * qkv.dtype.itemsize
@@ -311,7 +299,7 @@ def flash_fused(q, k, v, bias=None, *, sm_scale: Optional[float] = None,
     # Analytic cost so XLA cost analysis (bench.py's FLOP numerator, the
     # scheduler) sees through the custom call like it does the stock kernel.
     cost = pl.CostEstimate(
-        flops=4 * b * h * sq * sk * d + (6 * b * h * (2 * sq + sk) * d
+        flops=4 * b * h * sq * sk * d + (6 * b * h * (sq + 2 * sk) * d
                                          if norm_eps is not None else 0),
         transcendentals=b * h * sq * sk,
         bytes_accessed=(q.size + k.size + v.size + b * h * sq * d)

@@ -198,9 +198,9 @@ def block_apply(params: dict, cfg: BlockConfig, x, emb,
 
         # Inference fast paths: the packed kernels read q/k/v straight from
         # the conv outputs and write (head, d)-packed — the reshapes below
-        # are free views, no swapaxes passes. Under act_sharding keep the
-        # constrained path; the epipolar-bias configs keep the [B,H,S,D]
-        # path (the packed kernels carry no bias).
+        # are free views, no swapaxes passes. Epipolar biases ride into the
+        # packed kernel's cross segments. Under act_sharding keep the
+        # constrained path.
         use_packed = not train and not act_spec_active()
         if use_packed:
             from jax.ad_checkpoint import checkpoint_name
