@@ -38,14 +38,21 @@ config_presets = {
 }
 
 
-def _build_sampler(cfg, gcfg, sampler_kwargs, super_res):
-    """One compiled sampler per (model cfg, shapes). Guidance is traced."""
+def _build_sampler(cfg, gcfg, sampler_kwargs, super_res, mesh=None):
+    """One compiled sampler per (model cfg, shapes). Guidance is traced.
+
+    With a data-parallel `mesh`, the whole sampling computation runs inside
+    jax.shard_map over the 'data' axis: the sampler has no cross-sample
+    communication, and the Pallas attention kernels are custom calls GSPMD
+    cannot partition — under plain jit on a pod they would be replicated
+    (all-gathering every activation). Per-shard execution keeps them on the
+    fast path with zero collectives. Batches not divisible by the data axis
+    fall back to plain tracing (decided statically per shape)."""
     kw = dict(sampler_kwargs)
     kw.pop("guidance", None)
 
-    @partial(jax.jit, static_argnames=("use_gnet",))
-    def sample(params, gparams, src, geometry, noise, guidance, rng,
-               conditioning_image=None, use_gnet=True, seeds=None):
+    def sample_impl(params, gparams, src, geometry, noise, guidance, rng,
+                    conditioning_image, seeds, use_gnet):
         denoise = make_denoiser(params, cfg, src=src, geometry=geometry,
                                 conditioning_image=conditioning_image, rng=rng)
         gden = None
@@ -56,6 +63,26 @@ def _build_sampler(cfg, gcfg, sampler_kwargs, super_res):
                                  conditioning_image=None, rng=rng)
         return edm_sampler(denoise, noise, gnet_denoise=gden,
                            guidance=guidance, rng=rng, seeds=seeds, **kw)
+
+    @partial(jax.jit, static_argnames=("use_gnet",))
+    def sample(params, gparams, src, geometry, noise, guidance, rng,
+               conditioning_image=None, use_gnet=True, seeds=None):
+        n_data = 1
+        if mesh is not None:
+            n_data = dict(zip(mesh.axis_names,
+                              mesh.devices.shape)).get("data", 1)
+        if mesh is None or n_data <= 1 or noise.shape[0] % n_data != 0:
+            return sample_impl(params, gparams, src, geometry, noise,
+                               guidance, rng, conditioning_image, seeds,
+                               use_gnet)
+        from jax.sharding import PartitionSpec as P
+        rep, dat = P(), P("data")
+        fn = jax.shard_map(
+            partial(sample_impl, use_gnet=use_gnet), mesh=mesh,
+            in_specs=(rep, rep, dat, dat, dat, rep, rep, dat, dat),
+            out_specs=dat)
+        return fn(params, gparams, src, geometry, noise, guidance, rng,
+                  conditioning_image, seeds)
 
     return sample
 
@@ -122,13 +149,6 @@ def generate_images_nvs(
     loader = BatchLoader(iter(dataset), collate, batch_size=max_batch_size,
                          prefetch=2, num_threads=2)
 
-    sample_fn = _build_sampler(cfg, gnet.cfg if gnet is not None else None,
-                               sampler_kwargs, super_res)
-    sr_sample_fn = None
-    if sr_model is not None:
-        # No guidance in the SR stage (generate_images.py:230-232).
-        sr_sample_fn = _build_sampler(sr_model.cfg, None, sampler_kwargs, True)
-
     # Shard sampling over this process's devices: data-parallel by default;
     # `tp` ways of tensor parallelism over the 'model' axis when requested
     # (the serving-latency lever once one chip is too slow for a batch —
@@ -147,6 +167,18 @@ def generate_images_nvs(
         mesh = make_mesh(n_data=n_dev)
     else:
         mesh = None
+
+    # Pure-DP meshes run the samplers per-shard inside shard_map (see
+    # _build_sampler); under tp the act_sharding context + GSPMD partition
+    # the whole program instead.
+    dp_mesh = mesh if (mesh is not None and not (tp and tp > 1)) else None
+    sample_fn = _build_sampler(cfg, gnet.cfg if gnet is not None else None,
+                               sampler_kwargs, super_res, mesh=dp_mesh)
+    sr_sample_fn = None
+    if sr_model is not None:
+        # No guidance in the SR stage (generate_images.py:230-232).
+        sr_sample_fn = _build_sampler(sr_model.cfg, None, sampler_kwargs, True,
+                                      mesh=dp_mesh)
 
     def maybe_shard(tree):
         if mesh is None:
