@@ -14,7 +14,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# VIVID_TPU_TESTS=1 keeps the real backend for tests/test_tpu_kernels.py
+# (opt-in chip validation); everything else runs on the virtual CPU mesh.
+if os.environ.get("VIVID_TPU_TESTS") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
