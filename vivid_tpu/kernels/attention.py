@@ -264,8 +264,8 @@ def _packed_eligible(s: int, extra_lens=()) -> bool:
         return False
     if jax.devices()[0].platform != "tpu":
         return False
-    return (256 <= s <= 2048 and s % 128 == 0
-            and all(sf % 128 == 0 for sf in extra_lens))
+    return (64 <= s <= 2048 and s % 64 == 0
+            and all(sf % 64 == 0 for sf in extra_lens))
 
 
 def xattn_from_packed(qkv, feats, num_heads: int, biases=(),
