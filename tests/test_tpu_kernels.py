@@ -19,6 +19,12 @@ RUN = os.environ.get("VIVID_TPU_TESTS") == "1"
 pytestmark = pytest.mark.skipif(
     not RUN, reason="real-TPU kernel tests are opt-in (VIVID_TPU_TESTS=1)")
 
+if RUN:
+    # A pre-set disable flag would silently turn the op-level comparisons
+    # into XLA-vs-XLA (vacuously green); fail loudly instead.
+    assert not os.environ.get("VIVID_DISABLE_PALLAS"), \
+        "unset VIVID_DISABLE_PALLAS before running the TPU kernel tests"
+
 if RUN:  # keep the CPU-pinned suite from touching the TPU backend
     import jax
     import jax.numpy as jnp

@@ -67,18 +67,27 @@ def _build_sampler(cfg, gcfg, sampler_kwargs, super_res, mesh=None):
     @partial(jax.jit, static_argnames=("use_gnet",))
     def sample(params, gparams, src, geometry, noise, guidance, rng,
                conditioning_image=None, use_gnet=True, seeds=None):
-        n_data = 1
-        if mesh is not None:
-            n_data = dict(zip(mesh.axis_names,
-                              mesh.devices.shape)).get("data", 1)
+        n_data = mesh.shape.get("data", 1) if mesh is not None else 1
         if mesh is None or n_data <= 1 or noise.shape[0] % n_data != 0:
             return sample_impl(params, gparams, src, geometry, noise,
                                guidance, rng, conditioning_image, seeds,
                                use_gnet)
         from jax.sharding import PartitionSpec as P
         rep, dat = P(), P("data")
+
+        def shard_body(params, gparams, src, geometry, noise, guidance, rng,
+                       conditioning_image, seeds):
+            # Decorrelate the shards' base rng (noisy_sr conditioning noise
+            # draws would otherwise repeat identically on every shard). The
+            # per-SAMPLE streams (churn noise) come from `seeds`, which is
+            # sharded, and stay batch-invariant.
+            rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+            return sample_impl(params, gparams, src, geometry, noise,
+                               guidance, rng, conditioning_image, seeds,
+                               use_gnet)
+
         fn = jax.shard_map(
-            partial(sample_impl, use_gnet=use_gnet), mesh=mesh,
+            shard_body, mesh=mesh,
             in_specs=(rep, rep, dat, dat, dat, rep, rep, dat, dat),
             out_specs=dat)
         return fn(params, gparams, src, geometry, noise, guidance, rng,
@@ -154,17 +163,22 @@ def generate_images_nvs(
     # (the serving-latency lever once one chip is too slow for a batch —
     # attention heads / conv channels split via act_sharding constraints).
     import contextlib
-    from vivid_tpu.core.sharding import act_sharding, make_mesh, shard_batch as _shard
-    n_dev = len(jax.local_devices())
+    from vivid_tpu.core.sharding import act_sharding, make_mesh
+    local = jax.local_devices()
+    n_dev = len(local)
     act_ctx = contextlib.nullcontext
     n_data = n_dev
+    # The mesh spans THIS PROCESS's devices only: seed sharding already
+    # splits work across processes (rank_batches), so each process runs an
+    # independent local-DP/TP program on its own chips — a global mesh here
+    # would place every process's local batches on rank 0's devices.
     if tp and tp > 1:
         assert n_dev % tp == 0, f"tp={tp} does not divide {n_dev} devices"
         n_data = n_dev // tp
-        mesh = make_mesh(n_data=n_data, n_model=tp)
+        mesh = make_mesh(n_data=n_data, n_model=tp, devices=local)
         act_ctx = lambda: act_sharding(mesh, tp="model")
     elif n_dev > 1:
-        mesh = make_mesh(n_data=n_dev)
+        mesh = make_mesh(n_data=n_dev, devices=local)
     else:
         mesh = None
 
@@ -186,7 +200,11 @@ def generate_images_nvs(
         b_ = jax.tree.leaves(tree)[0].shape[0]
         if b_ % n_data != 0:
             return tree
-        return _shard(mesh, tree)
+        # Local-device placement, NOT shard_batch's multi-process global
+        # assembly: the batch axis here is per-process by construction.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh = NamedSharding(mesh, P("data"))
+        return jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), sh), tree)
 
     if verbose:
         dist.print0(f"Generating {len(seeds)} images...")
@@ -264,13 +282,17 @@ def generate_images_nvs(
                             latents, latents.shape[:1] + (sr_res, sr_res,
                                                           latents.shape[-1]),
                             method="bilinear")
+                        sr_src, sr_geometry, sr_noise, low_res, sr_seeds = \
+                            maybe_shard((sr_src, sr_geometry, sr_noise,
+                                         low_res,
+                                         jnp.asarray(r.seeds, jnp.uint32)))
                         with act_ctx():
                             sr_latents = sr_sample_fn(
                                 sr_model.params, sr_model.params, sr_src,
                                 sr_geometry, sr_noise,
                                 jnp.asarray(1.0, jnp.float32), rng,
                                 conditioning_image=low_res, use_gnet=False,
-                                seeds=jnp.asarray(r.seeds, jnp.uint32))
+                                seeds=sr_seeds)
                         r.images = np.asarray(encoder.decode(sr_latents))
                         r.src = sr_src_raw[:, 0] if sr_src_raw.ndim == 5 else sr_src_raw
                         r.tgt = sr_tgt_raw
