@@ -86,10 +86,13 @@ def _build_sampler(cfg, gcfg, sampler_kwargs, super_res, mesh=None):
                                guidance, rng, conditioning_image, seeds,
                                use_gnet)
 
+        # check_vma=False: the packed Pallas kernels run inside this
+        # shard_map and their custom calls don't thread varying-manual-axes
+        # metadata through every primitive (JAX's suggested workaround).
         fn = jax.shard_map(
             shard_body, mesh=mesh,
             in_specs=(rep, rep, dat, dat, dat, rep, rep, dat, dat),
-            out_specs=dat)
+            out_specs=dat, check_vma=False)
         return fn(params, gparams, src, geometry, noise, guidance, rng,
                   conditioning_image, seeds)
 

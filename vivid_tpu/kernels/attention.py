@@ -54,11 +54,22 @@ def _largest_block(size: int, cap: int) -> int:
     return best
 
 
+def _interpret() -> bool:
+    """VIVID_PALLAS_INTERPRET=1 forces the Pallas kernel paths ON off-TPU,
+    running the kernels in Pallas interpret mode. This exists so the
+    multi-shard stories (DP serving shard_map, TP per-head-shard dispatch)
+    can execute the REAL kernel dispatch with >1 shards on the CPU mesh —
+    the real chip here is a 1-device mesh, so without this hook every
+    multi-shard test would silently exercise only the XLA fallback."""
+    import os
+    return bool(os.environ.get("VIVID_PALLAS_INTERPRET"))
+
+
 def _use_pallas(q, k) -> bool:
     import os
     if os.environ.get("VIVID_DISABLE_PALLAS"):
         return False
-    if jax.devices()[0].platform != "tpu":
+    if jax.devices()[0].platform != "tpu" and not _interpret():
         return False
     sq, sk = q.shape[2], k.shape[2]
     # Pallas pays off once the logit matrix stops being tiny; block machinery
@@ -84,8 +95,12 @@ def fused_attention(q, k, v, bias: Optional[jax.Array] = None):
     args, in_specs = (q, k, v), (spec, spec, spec)
     if bias is not None:
         args, in_specs = args + (bias,), in_specs + (spec,)
+    # check_vma=False: the Pallas custom call inside doesn't carry varying-
+    # manual-axes metadata through every internal primitive (JAX's own
+    # suggested workaround); the in/out specs fully pin the data movement.
     fn = jax.shard_map(lambda *a: _attention_local(*a),
-                       mesh=mesh, in_specs=in_specs, out_specs=spec)
+                       mesh=mesh, in_specs=in_specs, out_specs=spec,
+                       check_vma=False)
     return fn(*args)
 
 
@@ -118,7 +133,8 @@ def _pallas_attention_from_raw(q, k, v, bias, zero_sink: int, eps: float):
     bq_cap, bk_cap = (1024, 3072) if bias is None else (512, 1536)
     return flash_fused(q, k, v, bias, norm_eps=eps, zero_sink=zero_sink,
                        block_q=_largest_block(sq, bq_cap),
-                       block_k=_largest_block(sk, bk_cap))
+                       block_k=_largest_block(sk, bk_cap),
+                       interpret=_interpret())
 
 
 def _pallas_raw_fwd(q, k, v, bias, zero_sink, eps):
@@ -189,7 +205,7 @@ def _pallas_self_attention_packed(qkv, num_heads: int, zero_sink: int,
                                   eps: float):
     from vivid_tpu.kernels.flash import flash_fused_packed
     return flash_fused_packed(qkv, num_heads, norm_eps=eps,
-                              zero_sink=zero_sink)
+                              zero_sink=zero_sink, interpret=_interpret())
 
 
 def _packed_fwd(qkv, num_heads, zero_sink, eps):
@@ -234,7 +250,7 @@ def _xla_xattn_from_packed(qkv, feats, biases, num_heads: int, eps: float):
 def _pallas_xattn_packed(qkv, feats, biases, num_heads: int, eps: float):
     from vivid_tpu.kernels.flash import flash_fused_packed_xattn
     return flash_fused_packed_xattn(qkv, feats, num_heads, biases=biases,
-                                    norm_eps=eps)
+                                    norm_eps=eps, interpret=_interpret())
 
 
 def _xattn_packed_fwd(qkv, feats, biases, num_heads, eps):
@@ -253,19 +269,43 @@ def _xattn_packed_bwd(num_heads, eps, res, g):
 _pallas_xattn_packed.defvjp(_xattn_packed_fwd, _xattn_packed_bwd)
 
 
-def _packed_eligible(s: int, extra_lens=()) -> bool:
-    """Shared gate for the packed whole-row kernels: TPU, no act_sharding
-    (the packed custom calls aren't partitionable over channels), and
-    sequence lengths that fit the single-block VMEM budget (the fp32 logit
-    tile is S*Sk*4 bytes) on lane-aligned boundaries."""
+_PACKED_VMEM_BUDGET = 88 * 2 ** 20  # kernels request 96 MB; leave headroom
+
+
+def _packed_vmem_bytes(s: int, extra_lens, num_heads: int, head_dim: int,
+                       itemsize: int, n_bias: int) -> int:
+    """Working-set estimate for the whole-row packed kernels: inputs/output
+    rows + per-source fp32 bias slabs (fetched whole per grid step) + the
+    per-head fp32 logit pipeline (logits, exp, and one temp live at once)."""
+    sk = s + sum(extra_lens)
+    hd = num_heads * head_dim
+    io = s * 3 * hd * itemsize + sum(sf * 2 * hd * itemsize
+                                     for sf in extra_lens) + s * hd * itemsize
+    bias = num_heads * s * sum(extra_lens[:n_bias] if n_bias else []) * 4
+    logits = 3 * s * sk * 4
+    return io + bias + logits
+
+
+def _packed_eligible(s: int, extra_lens=(), num_heads: int = 1,
+                     head_dim: int = 64, itemsize: int = 2,
+                     n_bias: int = 0) -> bool:
+    """Shared gate for the packed whole-row kernels: TPU (or forced interpret
+    mode), no act_sharding (the packed custom calls aren't partitionable over
+    channels), lane-aligned sequence lengths, and a working set that fits the
+    kernels' VMEM budget — out-of-envelope shapes (many/long cross sources,
+    big fp32 bias slabs) take the XLA fallback instead of failing at Mosaic
+    compile time."""
     import os
     from vivid_tpu.core.sharding import act_spec_active
     if os.environ.get("VIVID_DISABLE_PALLAS") or act_spec_active():
         return False
-    if jax.devices()[0].platform != "tpu":
+    if jax.devices()[0].platform != "tpu" and not _interpret():
         return False
-    return (64 <= s <= 2048 and s % 64 == 0
-            and all(sf % 64 == 0 for sf in extra_lens))
+    if not (64 <= s <= 2048 and s % 64 == 0
+            and all(sf % 64 == 0 for sf in extra_lens)):
+        return False
+    return _packed_vmem_bytes(s, extra_lens, num_heads, head_dim, itemsize,
+                              n_bias) <= _PACKED_VMEM_BUDGET
 
 
 def xattn_from_packed(qkv, feats, num_heads: int, biases=(),
@@ -273,7 +313,11 @@ def xattn_from_packed(qkv, feats, num_heads: int, biases=(),
     """Cross-attention over packed conv outputs (see
     flash_fused_packed_xattn). feats: tuple of [B, Sf, 2*H*D]; biases: ()
     or one UNSCALED [B, H, S, Sf] logit bias per source (epipolar)."""
-    if not _packed_eligible(qkv.shape[1], [f.shape[1] for f in feats]):
+    d = qkv.shape[2] // (3 * num_heads)
+    if not _packed_eligible(qkv.shape[1], [f.shape[1] for f in feats],
+                            num_heads=num_heads, head_dim=d,
+                            itemsize=qkv.dtype.itemsize,
+                            n_bias=len(tuple(biases))):
         return _xla_xattn_from_packed(qkv, feats, tuple(biases), num_heads,
                                       eps)
     return _pallas_xattn_packed(qkv, tuple(feats), tuple(biases), num_heads,
@@ -288,7 +332,9 @@ def self_attention_from_packed(qkv, num_heads: int, zero_sink: int = 0,
     over channels)."""
     b, s, c3 = qkv.shape
     assert c3 % (3 * num_heads) == 0
-    if not _packed_eligible(s):
+    if not _packed_eligible(s, num_heads=num_heads,
+                            head_dim=c3 // (3 * num_heads),
+                            itemsize=qkv.dtype.itemsize):
         return _xla_self_attention_from_packed(qkv, num_heads, zero_sink, eps)
     return _pallas_self_attention_packed(qkv, num_heads, zero_sink, eps)
 
@@ -296,6 +342,15 @@ def self_attention_from_packed(qkv, num_heads: int, zero_sink: int = 0,
 def _attention_local(q, k, v, bias: Optional[jax.Array] = None):
     if not _use_pallas(q, k):
         return reference_attention(q, k, v, bias)
+    if _interpret() and jax.devices()[0].platform != "tpu":
+        # The stock flash kernel has no interpret mode; run the from-scratch
+        # kernel (norm_eps=None: inputs here are already normalized) so the
+        # multi-shard tests execute a real Pallas call on this path too.
+        from vivid_tpu.kernels.flash import flash_fused
+        return flash_fused(q, k, v, bias, norm_eps=None,
+                           block_q=_largest_block(q.shape[2], 512),
+                           block_k=_largest_block(k.shape[2], 1024),
+                           interpret=True)
     flash_attention, BlockSizes = _flash()
     b, h, sq, d = q.shape
     sk = k.shape[2]

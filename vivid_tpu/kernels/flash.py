@@ -43,6 +43,17 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
+def _out_struct(shape, dtype, like):
+    """Output aval for pallas_call, inheriting the input's varying-manual-axes
+    set so the kernels compose with jax.shard_map (the DP serving and TP
+    per-head-shard paths run these kernels per-shard on pods; without the vma
+    the shard_map check_vma pass rejects the custom call)."""
+    vma = getattr(jax.typeof(like), "vma", None)
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
 def _rms_norm(x, norm_eps: Optional[float]):
     """Reference pixel norm (mp.normalize semantics) on a 2-D tile, fp32
     math, result back in the input dtype: the QK^T and PV dots must run at
@@ -165,7 +176,7 @@ def flash_fused_packed(qkv, num_heads: int, *, sm_scale: Optional[float] = None,
         grid=(b,),
         in_specs=[pl.BlockSpec((1, s, c3), lambda ib: (ib, 0, 0))],
         out_specs=pl.BlockSpec((1, s, H * d), lambda ib: (ib, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, s, H * d), qkv.dtype),
+        out_shape=_out_struct((b, s, H * d), qkv.dtype, qkv),
         cost_estimate=cost,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2 ** 20),
         interpret=interpret,
@@ -256,7 +267,7 @@ def flash_fused_packed_xattn(qkv, feats, num_heads: int, *, biases=None,
         grid=(b,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, s, H * d), lambda ib: (ib, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, s, H * d), qkv.dtype),
+        out_shape=_out_struct((b, s, H * d), qkv.dtype, qkv),
         cost_estimate=cost,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2 ** 20),
         interpret=interpret,
@@ -318,7 +329,7 @@ def flash_fused(q, k, v, bias=None, *, sm_scale: Optional[float] = None,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, block_q, d),
                                lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, h, sq, d), v.dtype),
+        out_shape=_out_struct((b, h, sq, d), v.dtype, q),
         scratch_shapes=[
             pltpu.VMEM((block_q, d), jnp.float32),     # acc
             pltpu.VMEM((block_q, 128), jnp.float32),   # running max

@@ -9,6 +9,7 @@
  * Build: cc -O3 -fPIC -shared fast_image.c -o libfast_image.so
  */
 
+#include <limits.h>
 #include <stdint.h>
 #include <stdlib.h>
 #include <string.h>
@@ -190,6 +191,10 @@ int decode_png_rgb(const uint8_t *buf, long len, uint8_t *out) {
 
     size_t stride = (size_t)w * ch;
     size_t raw_size = (size_t)h * (stride + 1);
+    /* zlib's avail_out is 32-bit; a >=4 GiB decompressed image would wrap
+       the budget and could "succeed" with uninitialized tail bytes. Such
+       images route to the PIL fallback instead. */
+    if (raw_size > (size_t)UINT_MAX) return PNG_ERR_UNSUPP;
     uint8_t *raw = (uint8_t *)malloc(raw_size);
     if (raw == NULL) return PNG_ERR_ALLOC;
 
