@@ -112,3 +112,29 @@ def test_jax_dinov2_matches_torch_hub():
     got, want = jd(imgs), td(imgs)
     np.testing.assert_allclose(got, want, rtol=0,
                                atol=1e-3 * np.abs(want).max())
+
+
+@pytest.mark.parametrize("in_size", [64, 224, 256, 299])
+def test_bicubic_aa_resize_matches_torch(in_size):
+    """On-device antialiased bicubic resize (resize_jax) vs
+    F.interpolate(..., mode='bicubic', antialias=True) — the reference's
+    DINOv2 preprocessing kernel (calculate_metrics.py:56-84)."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+    from vivid_tpu.metrics.resize_jax import resize_bicubic_aa
+    rng = np.random.default_rng(in_size)
+    x = rng.uniform(0, 255, (2, in_size, in_size, 3)).astype(np.float32)
+    t = torch.as_tensor(x).permute(0, 3, 1, 2)
+    want = F.interpolate(t, size=(224, 224), mode="bicubic",
+                         antialias=True).permute(0, 2, 3, 1).numpy()
+    got = np.asarray(resize_bicubic_aa(jnp.asarray(x), 224, 224))
+    np.testing.assert_allclose(got, want, atol=1e-2)
+
+
+def test_preprocess_jax_matches_torch():
+    from vivid_tpu.metrics.dinov2_jax import preprocess_jax, preprocess_torch
+    rng = np.random.default_rng(7)
+    imgs = rng.integers(0, 256, (3, 64, 64, 3), dtype=np.uint8)
+    got = np.asarray(preprocess_jax(jnp.asarray(imgs, jnp.float32)))
+    want = preprocess_torch(imgs)
+    np.testing.assert_allclose(got, want, atol=1e-4)

@@ -136,6 +136,77 @@ def test_packed_backwards_match_autodiff():
     np.testing.assert_allclose(np.asarray(gb[0]), np.asarray(wb[0]), atol=2e-5)
 
 
+@pytest.mark.parametrize("shape,zs", [((2, 256, 2, 64), 0),
+                                      ((1, 512, 3, 32), 0),
+                                      ((2, 256, 2, 64), 512),
+                                      ((1, 1024, 2, 64), 2048)])
+def test_packed_bwd_kernel_interpret_parity(shape, zs):
+    """The Pallas packed backward kernel (interpret) equals autodiff of the
+    XLA composite."""
+    from vivid_tpu.kernels.flash import flash_fused_packed_bwd
+    from vivid_tpu.kernels.attention import _xla_self_attention_from_packed
+    B, S, H, D = shape
+    key = jax.random.PRNGKey(11)
+    qkv = jax.random.normal(key, (B, S, 3 * H * D), jnp.float32)
+    g = jax.random.normal(jax.random.fold_in(key, 1), (B, S, H * D),
+                          jnp.float32)
+    got = np.asarray(flash_fused_packed_bwd(qkv, g, H, zero_sink=zs,
+                                            interpret=True))
+    want = np.asarray(jax.vjp(
+        lambda x: _xla_self_attention_from_packed(x, H, zs, 1e-4),
+        qkv)[1](g)[0])
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=0)
+
+
+@pytest.mark.parametrize("B,S,Sf,H,D,n,with_bias",
+                         [(2, 256, 256, 2, 64, 2, False),
+                          (1, 256, 512, 2, 64, 2, True),
+                          (1, 512, 256, 3, 32, 1, True)])
+def test_packed_xattn_bwd_kernel_interpret_parity(B, S, Sf, H, D, n,
+                                                  with_bias):
+    from vivid_tpu.kernels.flash import flash_fused_packed_xattn_bwd
+    from vivid_tpu.kernels.attention import _xla_xattn_from_packed
+    key = jax.random.PRNGKey(12)
+    qkv = jax.random.normal(key, (B, S, 3 * H * D), jnp.float32)
+    feats = tuple(jax.random.normal(jax.random.fold_in(key, i + 1),
+                                    (B, Sf, 2 * H * D), jnp.float32)
+                  for i in range(n))
+    biases = tuple(0.5 * jax.random.normal(jax.random.fold_in(key, 10 + i),
+                                           (B, H, S, Sf), jnp.float32)
+                   for i in range(n)) if with_bias else ()
+    g = jax.random.normal(jax.random.fold_in(key, 20), (B, S, H * D),
+                          jnp.float32)
+    dq, df, db = flash_fused_packed_xattn_bwd(qkv, feats, g, H, biases=biases,
+                                              interpret=True)
+    wq, wf, wb = jax.vjp(
+        lambda x, fs, bs: _xla_xattn_from_packed(x, fs, bs, H, 1e-4),
+        qkv, feats, biases)[1](g)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(wq), atol=2e-4)
+    for a, b in zip(df, wf):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+    for a, b in zip(db, wb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_packed_custom_vjp_grad_through_model_path(monkeypatch):
+    """jax.grad through self_attention_from_packed with the kernels forced on
+    (interpret) equals grad of the XLA composite — the exact train-path
+    integration (custom_vjp fwd = packed kernel, bwd = packed bwd kernel)."""
+    monkeypatch.setenv("VIVID_PALLAS_INTERPRET", "1")
+    from vivid_tpu.kernels.attention import (_xla_self_attention_from_packed,
+                                             self_attention_from_packed)
+    key = jax.random.PRNGKey(13)
+    qkv = jax.random.normal(key, (1, 64, 3 * 2 * 64), jnp.float32)
+    tgt = jax.random.normal(jax.random.fold_in(key, 1), (1, 64, 2 * 64),
+                            jnp.float32)
+    loss = lambda f: lambda x: jnp.sum((f(x) - tgt) ** 2)
+    got = jax.grad(loss(lambda x: self_attention_from_packed(x, 2,
+                                                             zero_sink=32)))(qkv)
+    want = jax.grad(loss(lambda x: _xla_self_attention_from_packed(
+        x, 2, 32, 1e-4)))(qkv)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
 def test_attention_from_raw_cpu_matches_composite():
     """The dispatcher's fallback (active on CPU) must equal normalize +
     plain attention — this is what every golden test runs through."""

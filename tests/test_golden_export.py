@@ -82,7 +82,10 @@ def test_exported_pickle_runs_in_reference_stack(tmp_path):
     with open(path, "rb") as f:
         data = pickle.load(f)
     net = data["ema"]
-    assert data.get("encoder") is None  # loader falls back to StandardRGBEncoder
+    # Full reference snapshot dict (training_loop.py:489): the encoder/loss
+    # objects are embedded persistent instances.
+    assert type(data["encoder"]).__name__ == "StandardRGBEncoder"
+    assert type(data["loss_fn"]).__name__ == "NVLoss"
 
     rng = np.random.RandomState(0)
     B = 2
@@ -222,3 +225,27 @@ def test_tree_to_torch_state_inverts_map(tmp_path):
     for (pa, va), (_, vb) in zip(flat_a, flat_b):
         np.testing.assert_array_equal(np.asarray(va), np.asarray(vb),
                                       err_msg=jax.tree_util.keystr(pa))
+
+
+def test_export_embeds_encoder_and_loss(tmp_path):
+    """Snapshot pickles embed the reference's persistent encoder/loss
+    objects (training_loop.py:489: EasyDict(encoder, dataset_kwargs,
+    loss_fn, ema)); a reference-side consumer that reads loss_fn sees the
+    genuine NVLoss with our training hyperparameters."""
+    from vivid_tpu.compat.torch_export import export_reference_pickle
+    from vivid_tpu.compat.torch_pickle import load_reference_module
+
+    params, cfg = _tiny()
+    path = str(tmp_path / "network-snapshot-aux.pkl")
+    export_reference_pickle(path, params, cfg, reference_root=REFERENCE,
+                            loss_kwargs={"P_mean": -0.8, "P_std": 1.6},
+                            fp16=False)
+    with open(path, "rb") as f:
+        raw = f.read()
+    # Load standalone through our unpickler (no reference on sys.path).
+    import io
+    from vivid_tpu.compat.torch_pickle import _ReferenceUnpickler
+    d = _ReferenceUnpickler(io.BytesIO(raw)).load()
+    assert type(d["encoder"]).__name__ == "StandardRGBEncoder"
+    assert type(d["loss_fn"]).__name__ == "NVLoss"
+    assert d["loss_fn"].P_mean == -0.8 and d["loss_fn"].P_std == 1.6

@@ -37,27 +37,35 @@ _REF_STUBS = [
     "kornia.geometry.conversions", "litdata",
     "torchvision", "torchvision.transforms",
     "torchvision.transforms.functional", "torchvision.utils",
+    "wandb", "fvcore", "fvcore.nn",
 ]
 
 
-def import_reference(root: str):
-    """Import the reference `training.models` from a checkout at `root`,
-    stubbing its unavailable heavy deps (kornia/litdata/torchvision — unused
-    by model construction). Returns the models module."""
+def _install_stubs():
+    """Attribute-tolerant stubs for the reference's unavailable heavy deps
+    (kornia/litdata/torchvision/wandb/fvcore — none used by model/encoder/
+    loss construction)."""
+    from vivid_tpu.compat.torch_pickle import _stub_module
+    for name in _REF_STUBS:
+        sys.modules.setdefault(name, _stub_module(name))
+    sys.modules["kornia"].geometry = sys.modules["kornia.geometry"]
+    sys.modules["kornia.geometry"].transform = sys.modules["kornia.geometry.transform"]
+    sys.modules["kornia.geometry.transform"].resize = lambda *a, **k: None
+
+
+def import_reference(root: str, module: str = "training.models"):
+    """Import a reference module from a checkout at `root`, stubbing its
+    unavailable heavy deps. Returns the imported module."""
+    import importlib
     import os
     if not os.path.isdir(os.path.join(root, "training")):
         raise FileNotFoundError(
             f"reference checkout not found at {root!r} (need training/models.py); "
             "pass reference_root= pointing at a danielcodelavin/vivid checkout")
-    for name in _REF_STUBS:
-        sys.modules.setdefault(name, types.ModuleType(name))
-    sys.modules["kornia"].geometry = sys.modules["kornia.geometry"]
-    sys.modules["kornia.geometry"].transform = sys.modules["kornia.geometry.transform"]
-    sys.modules["kornia.geometry.transform"].resize = lambda *a, **k: None
+    _install_stubs()
     if root not in sys.path:
         sys.path.insert(0, root)
-    from training import models  # noqa: PLC0415 — deliberate late import
-    return models
+    return importlib.import_module(module)
 
 
 # ---------------------------------------------------------------------------
@@ -141,23 +149,44 @@ def build_reference_net(params, cfg, reference_root: str):
     return net.eval().requires_grad_(False)
 
 
+def build_reference_aux(cfg, reference_root: str,
+                        loss_kwargs: Optional[dict] = None):
+    """Instantiate the reference's own encoder and loss objects (both
+    @persistent_class, so pickling them embeds their defining source like
+    genuine reference snapshots do). Returns (encoder, loss_fn)."""
+    encoders = import_reference(reference_root, "training.encoders")
+    tl = import_reference(reference_root, "training.training_loop")
+    encoder = encoders.StandardRGBEncoder()
+    loss_cls = tl.SRNVLoss if cfg.super_res else tl.NVLoss
+    kw = {k: v for k, v in dict(loss_kwargs or {}).items()
+          if k in ("P_mean", "P_std", "sigma_data")}
+    return encoder, loss_cls(**kw)
+
+
 def export_reference_pickle(path: str, params, cfg, reference_root: str,
                             dataset_kwargs: Optional[dict] = None,
-                            fp16: bool = True) -> str:
+                            loss_kwargs: Optional[dict] = None,
+                            fp16: bool = True, embed_aux: bool = True) -> str:
     """Write a reference-format snapshot pickle at `path`.
 
     Mirrors the reference's own snapshot writer (training_loop.py:489-494):
-    dict(encoder=None, dataset_kwargs=..., loss_fn=None, ema=<net>), with the
-    EMA net stored fp16 (fp16=False keeps fp32 — larger but lossless; the
-    round-trip tests use it). encoder=None is safe: the reference loader
-    constructs StandardRGBEncoder when the entry is absent/None
-    (generate_images.py:170-173)."""
+    dict(encoder=<StandardRGBEncoder>, dataset_kwargs=..., loss_fn=<NVLoss/
+    SRNVLoss>, ema=<net>), with the EMA net stored fp16 (fp16=False keeps
+    fp32 — larger but lossless; the round-trip tests use it). With
+    embed_aux=False the encoder/loss_fn entries are None — still safe for
+    the reference loader, which constructs StandardRGBEncoder when the entry
+    is absent/None (generate_images.py:170-173) — but a reference-side
+    consumer that reads loss_fn would miss it."""
     import torch
     net = build_reference_net(params, cfg, reference_root)
     if fp16:
         net = net.to(torch.float16)
-    data = dict(encoder=None, dataset_kwargs=dict(dataset_kwargs or {}),
-                loss_fn=None, ema=net)
+    encoder = loss_fn = None
+    if embed_aux:
+        encoder, loss_fn = build_reference_aux(cfg, reference_root,
+                                               loss_kwargs)
+    data = dict(encoder=encoder, dataset_kwargs=dict(dataset_kwargs or {}),
+                loss_fn=loss_fn, ema=net)
     with open(path, "wb") as f:
         pickle.dump(data, f)
     return path
@@ -186,7 +215,9 @@ def cmdline(snapshot, out, reference_root, fp16):
     data = load_snapshot(snapshot)
     export_reference_pickle(out, data.params, data.cfg,
                             reference_root=reference_root,
-                            dataset_kwargs=data.dataset_kwargs, fp16=fp16)
+                            dataset_kwargs=data.dataset_kwargs,
+                            loss_kwargs=getattr(data, "loss_kwargs", None),
+                            fp16=fp16)
     click.echo(f"Wrote reference-format snapshot: {out}")
 
 

@@ -212,7 +212,30 @@ def _packed_fwd(qkv, num_heads, zero_sink, eps):
     return _pallas_self_attention_packed(qkv, num_heads, zero_sink, eps), qkv
 
 
+def _packed_bwd_fits(s: int, extra_lens, num_heads: int, head_dim: int,
+                     itemsize: int, n_bias: int) -> bool:
+    """The backward kernels keep ~5 fp32 [S, Sk]-class tiles live per head
+    (logits, exp, probabilities, dP, dS) plus doubled IO (grads mirror every
+    input); gate on that bigger working set so out-of-envelope shapes take
+    the composite VJP instead of failing at Mosaic compile time."""
+    sk = s + sum(extra_lens)
+    hd = num_heads * head_dim
+    io = 2 * (s * 3 * hd + sum(2 * sf * hd for sf in extra_lens)
+              + s * hd) * itemsize
+    bias = 2 * num_heads * s * sum(extra_lens[:n_bias] if n_bias else []) * 4
+    return io + bias + 5 * s * sk * 4 <= _PACKED_VMEM_BUDGET
+
+
 def _packed_bwd(num_heads, zero_sink, eps, qkv, g):
+    d = qkv.shape[2] // (3 * num_heads)
+    if _packed_eligible(qkv.shape[1], num_heads=num_heads, head_dim=d,
+                        itemsize=qkv.dtype.itemsize) and \
+            _packed_bwd_fits(qkv.shape[1], (), num_heads, d,
+                             qkv.dtype.itemsize, 0):
+        from vivid_tpu.kernels.flash import flash_fused_packed_bwd
+        return (flash_fused_packed_bwd(qkv, g, num_heads, norm_eps=eps,
+                                       zero_sink=zero_sink,
+                                       interpret=_interpret()),)
     _, vjp = jax.vjp(
         lambda x: _xla_self_attention_from_packed(x, num_heads, zero_sink,
                                                   eps), qkv)
@@ -260,6 +283,17 @@ def _xattn_packed_fwd(qkv, feats, biases, num_heads, eps):
 
 def _xattn_packed_bwd(num_heads, eps, res, g):
     qkv, feats, biases = res
+    d = qkv.shape[2] // (3 * num_heads)
+    extra = [f.shape[1] for f in feats]
+    if _packed_eligible(qkv.shape[1], extra, num_heads=num_heads, head_dim=d,
+                        itemsize=qkv.dtype.itemsize, n_bias=len(biases)) and \
+            _packed_bwd_fits(qkv.shape[1], extra, num_heads, d,
+                             qkv.dtype.itemsize, len(biases)):
+        from vivid_tpu.kernels.flash import flash_fused_packed_xattn_bwd
+        dqkv, dfeats, dbiases = flash_fused_packed_xattn_bwd(
+            qkv, feats, g, num_heads, biases=biases, norm_eps=eps,
+            interpret=_interpret())
+        return dqkv, dfeats, dbiases
     _, vjp = jax.vjp(
         lambda x, fs, bs: _xla_xattn_from_packed(x, fs, bs, num_heads, eps),
         qkv, feats, biases)

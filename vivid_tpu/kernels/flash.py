@@ -274,6 +274,238 @@ def flash_fused_packed_xattn(qkv, feats, num_heads: int, *, biases=None,
     )(qkv, *feats, *biases)
 
 
+# ---------------------------------------------------------------------------
+# Packed-layout BACKWARD kernels. Training previously kept the stock flash
+# kernel (native Pallas backward, but [B,H,S,D] layout => swapaxes copies
+# around every attention block); these put the packed zero-copy layout on the
+# train path too. Whole-row recompute design: per batch row, re-derive the
+# softmax state (deterministic, same math as the forward kernel), then the
+# standard attention VJP
+#     dv' = P~^T dO,  dP~ = dO v'^T,  dS = P~ o (dP~ - rowsum(P~ o dP~)),
+#     dq' = dS k' * c,  dk' = dS^T q' * c
+# (P~ = probabilities incl. the zero-sink mass; sink columns carry v=0 so
+# their dP~ vanishes and the formulas are unchanged), followed by the
+# RMS-norm VJP
+#     dx = dy/(eps+r) - x * <x, dy> / (D r (eps+r)^2),   r = ||x||/sqrt(D)
+# fused in-kernel, gradients written straight back in the packed layout.
+
+
+def _norm_bwd(x_raw, dy, norm_eps: Optional[float]):
+    """VJP of _rms_norm on a 2-D tile: x_raw raw input, dy fp32 cotangent."""
+    if norm_eps is None:
+        return dy
+    x32 = x_raw.astype(jnp.float32)
+    D = x_raw.shape[-1]
+    r = jnp.sqrt(jnp.sum(x32 * x32, axis=-1, keepdims=True) / D)
+    denom = norm_eps + r
+    xdy = jnp.sum(x32 * dy, axis=-1, keepdims=True)
+    # r == 0 => x == 0 => the second term's numerator is 0; guard the division.
+    correction = x32 * (xdy / (D * denom * denom * jnp.maximum(r, 1e-30)))
+    return dy / denom - correction
+
+
+def _head_attn_bwd(q_raw, k_raws, v_raws, dO, biases32, *, sm_scale: float,
+                   norm_eps: Optional[float], zero_sink: int, dtype):
+    """Shared per-head backward over one or more KV segments. q_raw [S, D];
+    k_raws/v_raws: per-segment raw tiles [Sk_i, D]; dO [S, D] fp32;
+    biases32: per-segment fp32 logit bias or None. Returns
+    (dq_raw, [dk_raw_i], [dv_raw_i], [dbias_i or None]) with grads for raw
+    (pre-norm) inputs; dbias only for segments that carried a bias."""
+    qh = _rms_norm(q_raw, norm_eps)
+    khs = [_rms_norm(kr, norm_eps) for kr in k_raws]
+    vhs = [_rms_norm(vr, norm_eps) for vr in v_raws]
+    logits = []
+    for kh, b32 in zip(khs, biases32):
+        s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * sm_scale
+        if b32 is not None:
+            s = s + b32
+        logits.append(s)
+    m = logits[0].max(axis=-1, keepdims=True)
+    for s in logits[1:]:
+        m = jnp.maximum(m, s.max(axis=-1, keepdims=True))
+    if zero_sink:
+        m = jnp.maximum(m, 0.0)
+    ps = [jnp.exp(s - m) for s in logits]
+    l = sum(p.sum(axis=-1, keepdims=True) for p in ps)
+    if zero_sink:
+        l = l + zero_sink * jnp.exp(-m)
+    pts = [p / l for p in ps]                                # fp32 [S, Sk_i]
+    dO16 = dO.astype(dtype)
+    dpts = [jax.lax.dot_general(dO16, vh.astype(dtype),
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+            for vh in vhs]
+    rho = sum(jnp.sum(pt * dpt, axis=-1, keepdims=True)
+              for pt, dpt in zip(pts, dpts))
+    dss = [pt * (dpt - rho) for pt, dpt in zip(pts, dpts)]
+    dq_hat = sum(
+        jax.lax.dot(ds.astype(dtype), kh.astype(dtype),
+                    preferred_element_type=jnp.float32)
+        for ds, kh in zip(dss, khs)) * sm_scale
+    dk_hats = [jax.lax.dot_general(ds.astype(dtype), qh.astype(dtype),
+                                   (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+               * sm_scale for ds in dss]
+    dv_hats = [jax.lax.dot_general(pt.astype(dtype), dO16,
+                                   (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+               for pt in pts]
+    dq = _norm_bwd(q_raw, dq_hat, norm_eps)
+    dks = [_norm_bwd(kr, dkh, norm_eps) for kr, dkh in zip(k_raws, dk_hats)]
+    dvs = [_norm_bwd(vr, dvh, norm_eps) for vr, dvh in zip(v_raws, dv_hats)]
+    dbs = [ds if b32 is not None else None
+           for ds, b32 in zip(dss, biases32)]
+    return dq, dks, dvs, dbs
+
+
+def _kernel_packed_bwd(x_ref, g_ref, dx_ref, *, H: int, d: int,
+                       sm_scale: float, norm_eps: Optional[float],
+                       zero_sink: int):
+    x = x_ref[0]                                             # [S, 3HD]
+    g = g_ref[0]                                             # [S, HD]
+    for h in range(H):
+        q_raw = x[:, h * d:(h + 1) * d]
+        k_raw = x[:, (H + h) * d:(H + h + 1) * d]
+        v_raw = x[:, (2 * H + h) * d:(2 * H + h + 1) * d]
+        dO = g[:, h * d:(h + 1) * d].astype(jnp.float32)
+        dq, (dk,), (dv,), _ = _head_attn_bwd(
+            q_raw, [k_raw], [v_raw], dO, [None], sm_scale=sm_scale,
+            norm_eps=norm_eps, zero_sink=zero_sink, dtype=x.dtype)
+        dx_ref[0, :, h * d:(h + 1) * d] = dq.astype(dx_ref.dtype)
+        dx_ref[0, :, (H + h) * d:(H + h + 1) * d] = dk.astype(dx_ref.dtype)
+        dx_ref[0, :, (2 * H + h) * d:(2 * H + h + 1) * d] = \
+            dv.astype(dx_ref.dtype)
+
+
+def flash_fused_packed_bwd(qkv, g, num_heads: int, *,
+                           sm_scale: Optional[float] = None,
+                           norm_eps: Optional[float] = 1e-4,
+                           zero_sink: int = 0, interpret: bool = False):
+    """Backward of flash_fused_packed: qkv [B, S, 3*H*D] (raw packed conv
+    output), g [B, S, H*D] cotangent -> dqkv [B, S, 3*H*D]."""
+    b, s, c3 = qkv.shape
+    d = c3 // (3 * num_heads)
+    if sm_scale is None:
+        sm_scale = 1.0 / (d ** 0.5)
+    H = num_heads
+    kern = functools.partial(_kernel_packed_bwd, H=H, d=d,
+                             sm_scale=float(sm_scale), norm_eps=norm_eps,
+                             zero_sink=int(zero_sink))
+    cost = pl.CostEstimate(
+        flops=10 * b * H * s * s * d,
+        transcendentals=b * H * s * s,
+        bytes_accessed=2 * qkv.size * qkv.dtype.itemsize
+        + g.size * g.dtype.itemsize,
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, s, c3), lambda ib: (ib, 0, 0)),
+                  pl.BlockSpec((1, s, H * d), lambda ib: (ib, 0, 0))],
+        out_specs=pl.BlockSpec((1, s, c3), lambda ib: (ib, 0, 0)),
+        out_shape=_out_struct((b, s, c3), qkv.dtype, qkv),
+        cost_estimate=cost,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2 ** 20),
+        interpret=interpret,
+    )(qkv, g)
+
+
+def _kernel_packed_xattn_bwd(x_ref, *rest, H: int, d: int, n_src: int,
+                             n_bias: int, sm_scale: float,
+                             norm_eps: Optional[float]):
+    f_refs = rest[:n_src]
+    b_refs = rest[n_src:n_src + n_bias]
+    g_ref = rest[n_src + n_bias]
+    dx_ref = rest[n_src + n_bias + 1]
+    df_refs = rest[n_src + n_bias + 2:n_src + n_bias + 2 + n_src]
+    db_refs = rest[n_src + n_bias + 2 + n_src:]
+    x = x_ref[0]
+    g = g_ref[0]
+    for h in range(H):
+        q_raw = x[:, h * d:(h + 1) * d]
+        k_raws = [x[:, (H + h) * d:(H + h + 1) * d]]
+        v_raws = [x[:, (2 * H + h) * d:(2 * H + h + 1) * d]]
+        for fr in f_refs:
+            f = fr[0]
+            k_raws.append(f[:, h * d:(h + 1) * d])
+            v_raws.append(f[:, (H + h) * d:(H + h + 1) * d])
+        biases32 = [None]
+        for i in range(n_src):
+            biases32.append(b_refs[i][0, h].astype(jnp.float32)
+                            if i < n_bias else None)
+        dO = g[:, h * d:(h + 1) * d].astype(jnp.float32)
+        dq, dks, dvs, dbs = _head_attn_bwd(
+            q_raw, k_raws, v_raws, dO, biases32, sm_scale=sm_scale,
+            norm_eps=norm_eps, zero_sink=0, dtype=x.dtype)
+        dx_ref[0, :, h * d:(h + 1) * d] = dq.astype(dx_ref.dtype)
+        dx_ref[0, :, (H + h) * d:(H + h + 1) * d] = dks[0].astype(dx_ref.dtype)
+        dx_ref[0, :, (2 * H + h) * d:(2 * H + h + 1) * d] = \
+            dvs[0].astype(dx_ref.dtype)
+        for i, dfr in enumerate(df_refs):
+            dfr[0, :, h * d:(h + 1) * d] = dks[1 + i].astype(dfr.dtype)
+            dfr[0, :, (H + h) * d:(H + h + 1) * d] = \
+                dvs[1 + i].astype(dfr.dtype)
+        for i, dbr in enumerate(db_refs):
+            dbr[0, h] = dbs[1 + i].astype(dbr.dtype)
+
+
+def flash_fused_packed_xattn_bwd(qkv, feats, g, num_heads: int, *,
+                                 biases=None,
+                                 sm_scale: Optional[float] = None,
+                                 norm_eps: Optional[float] = 1e-4,
+                                 interpret: bool = False):
+    """Backward of flash_fused_packed_xattn. Returns
+    (dqkv, tuple(dfeats), tuple(dbiases))."""
+    b, s, c3 = qkv.shape
+    d = c3 // (3 * num_heads)
+    H = num_heads
+    if sm_scale is None:
+        sm_scale = 1.0 / (d ** 0.5)
+    biases = tuple(biases) if biases else ()
+    sk_total = s + sum(f.shape[1] for f in feats)
+    kern = functools.partial(_kernel_packed_xattn_bwd, H=H, d=d,
+                             n_src=len(feats), n_bias=len(biases),
+                             sm_scale=float(sm_scale), norm_eps=norm_eps)
+    cost = pl.CostEstimate(
+        flops=10 * b * H * s * sk_total * d,
+        transcendentals=b * H * s * sk_total,
+        bytes_accessed=2 * (qkv.size + sum(f.size for f in feats))
+        * qkv.dtype.itemsize + g.size * g.dtype.itemsize
+        + 2 * sum(bi.size * bi.dtype.itemsize for bi in biases),
+    )
+    in_specs = [pl.BlockSpec((1, s, c3), lambda ib: (ib, 0, 0))]
+    for f in feats:
+        in_specs.append(pl.BlockSpec((1, f.shape[1], f.shape[2]),
+                                     lambda ib: (ib, 0, 0)))
+    for bi in biases:
+        in_specs.append(pl.BlockSpec((1, H, s, bi.shape[3]),
+                                     lambda ib: (ib, 0, 0, 0)))
+    in_specs.append(pl.BlockSpec((1, s, H * d), lambda ib: (ib, 0, 0)))
+    out_specs = [pl.BlockSpec((1, s, c3), lambda ib: (ib, 0, 0))]
+    out_shapes = [_out_struct((b, s, c3), qkv.dtype, qkv)]
+    for f in feats:
+        out_specs.append(pl.BlockSpec((1, f.shape[1], f.shape[2]),
+                                      lambda ib: (ib, 0, 0)))
+        out_shapes.append(_out_struct(f.shape, f.dtype, qkv))
+    for bi in biases:
+        out_specs.append(pl.BlockSpec((1, H, s, bi.shape[3]),
+                                      lambda ib: (ib, 0, 0, 0)))
+        out_shapes.append(_out_struct(bi.shape, bi.dtype, qkv))
+    res = pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        cost_estimate=cost,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2 ** 20),
+        interpret=interpret,
+    )(qkv, *feats, *biases, g)
+    n = len(feats)
+    return res[0], tuple(res[1:1 + n]), tuple(res[1 + n:])
+
+
 def flash_fused(q, k, v, bias=None, *, sm_scale: Optional[float] = None,
                 norm_eps: Optional[float] = None, zero_sink: int = 0,
                 block_q: int = 512, block_k: int = 1024,

@@ -3,10 +3,11 @@
 The reference computes FD-DINOv2 features with torch-hub dinov2_vitl14
 (calculate_metrics.py:56-84): bicubic-224 antialiased resize, /255, ImageNet
 normalize, forward, take the final-norm class token (1024-d). Here the ViT
-runs on the accelerator via the shared functional DINOv2 backbone
-(vivid_tpu.nn.dinov2, HF-parity-tested); preprocessing stays on torch CPU for
-bit-parity with the reference's resize kernel (torch bicubic a=-0.75 differs
-from jax.image's Keys cubic).
+AND the preprocessing run on the accelerator: the antialiased bicubic resize
+is a precomputed separable weight-matrix matmul with torch-exact semantics
+(metrics/resize_jax.py, parity-tested vs F.interpolate to <6e-3 on the 0-255
+scale), so a 1-core host never bottlenecks metric evaluation. The torch CPU
+preprocess is kept as the parity oracle.
 
 Weights: the torch-hub checkpoint file
 `$VIVID_DETECTOR_DIR/torch_hub/checkpoints/dinov2_vitl14_pretrain.pth` is
@@ -66,11 +67,25 @@ def preprocess_torch(images_uint8):
         return (t - mean).div_(std).permute(0, 2, 3, 1).contiguous().numpy()
 
 
+def preprocess_jax(images):
+    """fp32 NHWC (0-255 scale) -> fp32 NHWC 224px ImageNet-normalized,
+    entirely on-device (jit-safe)."""
+    import jax.numpy as jnp
+    from vivid_tpu.metrics.resize_jax import resize_bicubic_aa
+    x = resize_bicubic_aa(images.astype(jnp.float32), INPUT_SIZE, INPUT_SIZE)
+    x = x / 255.0
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+    return (x - mean) / std
+
+
 def make_feature_fn(params, cfg):
-    fn = jax.jit(lambda p, x: vit_forward(p, cfg, x)[0])  # cls token
+    # One jitted program: resize + normalize + ViT — the host only ships the
+    # raw uint8 batch.
+    fn = jax.jit(lambda p, x: vit_forward(p, cfg, preprocess_jax(x))[0])
 
     def features(images_uint8):
-        x = preprocess_torch(images_uint8)
+        x = np.asarray(images_uint8, np.float32)
         return np.asarray(fn(params, x), np.float32)
 
     return features

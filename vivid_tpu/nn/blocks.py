@@ -182,13 +182,14 @@ def block_apply(params: dict, cfg: BlockConfig, x, emb,
         x = mp_conv_apply(params["conv_skip"], x)
     x = mp_sum(x, y, t=cfg.res_balance)
 
-    # Attention. In inference q/k/v stay RAW (un-normalized) through the
-    # split/concat and attention_from_raw pixel-normalizes per D-vector
-    # in-kernel on the fused flash path (one HBM pass; same math — rowwise
-    # normalization is concat-order invariant). In training the pre-
-    # normalized path is kept: the stock flash kernel has native Pallas
-    # backward kernels, whereas the fused kernel's custom VJP recomputes the
-    # unfused composite (measured +2.5% on the train step).
+    # Attention. q/k/v stay RAW (un-normalized) through the split/concat and
+    # the packed kernels pixel-normalize per D-vector in-kernel (one HBM
+    # pass; same math — rowwise normalization is concat-order invariant).
+    # The packed path now covers TRAINING too: the custom VJP dispatches to
+    # from-scratch packed Pallas backward kernels (kernels/flash.py
+    # flash_fused_packed_bwd / _xattn_bwd) that recompute the softmax state
+    # per row and write dqkv/dfeats straight back in the packed layout — no
+    # swapaxes copies in either pass.
     if cfg.num_heads != 0:
         from vivid_tpu.core.sharding import act_spec_active
         from vivid_tpu.kernels.attention import (attention_from_raw,
@@ -196,12 +197,12 @@ def block_apply(params: dict, cfg: BlockConfig, x, emb,
         b, h, w, ch = x.shape
         qkv = _packed_qkv_conv(params["attn_qkv"], x, cfg.num_heads, 3)
 
-        # Inference fast paths: the packed kernels read q/k/v straight from
+        # Packed fast paths: the packed kernels read q/k/v straight from
         # the conv outputs and write (head, d)-packed — the reshapes below
         # are free views, no swapaxes passes. Epipolar biases ride into the
         # packed kernel's cross segments. Under act_sharding keep the
-        # constrained path.
-        use_packed = not train and not act_spec_active()
+        # constrained path (GSPMD can't partition the packed custom calls).
+        use_packed = not act_spec_active()
         if use_packed:
             from jax.ad_checkpoint import checkpoint_name
             from vivid_tpu.kernels.attention import xattn_from_packed

@@ -251,7 +251,11 @@ def unet_apply(params, cfg: UNetConfig, x, noise_labels, geometry,
     def run_block(entry: PlanEntry, h):
         bcfg = entry.block
         feats = None
-        if bcfg.xattn:
+        # Consume a cross feature only for blocks that actually attend:
+        # narrow blocks (out_channels < channels_per_head => num_heads == 0)
+        # skip attention entirely, and attention_feature_spec excludes them
+        # from the encoder's feature list.
+        if bcfg.xattn and bcfg.num_heads > 0:
             if zeros_mode:
                 feats = "zeros"
             else:
@@ -288,7 +292,8 @@ def unet_apply(params, cfg: UNetConfig, x, noise_labels, geometry,
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
                                *[params[e.name] for e in run])
         feats = (jnp.stack([next(feat_iter) for _ in run])
-                 if bcfg.xattn and not zeros_mode else None)
+                 if bcfg.xattn and bcfg.num_heads > 0 and not zeros_mode
+                 else None)
         use_dk = dropout_keys is not None and train and bcfg.dropout > 0
         dks = jnp.stack([next(dropout_keys) for _ in run]) if use_dk else None
         skips_in = (jnp.stack([skips.pop() for _ in run])

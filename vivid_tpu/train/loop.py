@@ -328,6 +328,19 @@ def training_loop(
     analyze_flops(step_fn, state, first_batch,
                   step_key(seed_key, int(state.cur_nimg)))
 
+    # Live progress bar with a loss postfix, like the reference's tqdm loop
+    # (training_loop.py:337, 568). The postfix refreshes at status ticks only
+    # (per-step loss would force a host sync every step); import-gated.
+    pbar = None
+    if dist.get_rank() == 0 and not debug:
+        try:
+            from tqdm.auto import tqdm
+            pbar = tqdm(total=stop_at_nimg, initial=int(state.cur_nimg),
+                        unit="img", unit_scale=True, dynamic_ncols=True,
+                        desc="train")
+        except ImportError:
+            pass
+
     stats_jsonl = None
     pending_stats = []  # device-side stat dicts; pulled only at status ticks
     prev_status_time = time.time()
@@ -336,6 +349,17 @@ def training_loop(
     start_nimg = int(state.cur_nimg)
     steps_done = 0
     pending_batch = first_batch
+    loader_wait = [0.0, 0]  # [seconds blocked on next(loader), rows fetched]
+
+    def fetch_batch():
+        """next(loader) with wait-time accounting: >0 wait means the host
+        loader could not keep ahead of the device (resource telemetry the
+        reference reports via psutil, training_loop.py:343-359)."""
+        t0 = time.time()
+        b = next(loader)
+        loader_wait[0] += time.time() - t0
+        loader_wait[1] += len(jax.tree.leaves(b)[0])
+        return device_batch(b)
 
     ckpt_holder = {"io": None}
 
@@ -424,6 +448,11 @@ def training_loop(
                            f"generated-samples-{cur_nimg // 1000:07d}.png")
         PIL.Image.fromarray(grid, "RGB").save(out)
         dist.print0(f"Saved {out}")
+        if wandb_run is not None:
+            # Mirror the sample grid to wandb, like the reference
+            # (training_loop.py:453-454).
+            import wandb
+            wandb_run.log({"samples": wandb.Image(grid)}, step=cur_nimg)
 
     def interval_hit(interval, cur, prev):
         """True when an interval boundary was crossed since the previous step."""
@@ -453,9 +482,17 @@ def training_loop(
                                   / max(cur_nimg - prev_status_nimg, 1) * 1e3)
                 stats_mod.report0("Timing/maintenance_sec",
                                   tick_time - cumulative_training_time)
+                stats_mod.report0("Timing/loader_wait_sec", loader_wait[0])
+                stats_mod.report0(
+                    "Timing/loader_rows_per_s",
+                    loader_wait[1] / max(tick_time, 1e-9))
+                loader_wait[0] = 0.0
+                loader_wait[1] = 0
                 stats_mod.default_collector.update()
                 snap = stats_mod.default_collector.as_dict()
                 loss_val = snap.get("Loss/loss", EasyDict(mean=float("nan"))).mean
+                if pbar is not None:
+                    pbar.set_postfix(loss=f"{loss_val:.4f}", refresh=False)
                 dist.print0(
                     f"Status: kimg {cur_nimg / 1e3:<9.1f} loss {loss_val:<8.4f} "
                     f"time {format_time(cur_time - start_time):<12s} "
@@ -498,6 +535,11 @@ def training_loop(
             if hits["metrics"]:
                 results = metrics_fn(hs.emas[0], model_cfg)
                 dist.print0(f"Metrics: {results}")
+                if wandb_run is not None:
+                    # Mirror metric results (training_loop.py:481-483).
+                    wandb_run.log({f"metrics_{k}": float(v)
+                                   for k, v in results.items()},
+                                  step=cur_nimg)
             if hits["snapshot"]:
                 save_snapshots(cur_nimg, hs)
             if hits["checkpoint"]:
@@ -508,16 +550,20 @@ def training_loop(
 
             batch_start = time.time()
             if pending_batch is None:
-                pending_batch = device_batch(next(loader))
+                pending_batch = fetch_batch()
             rng = step_key(seed_key, cur_nimg)
             state, step_stats = step_fn(state, pending_batch, rng)
             # Overlap: stage the next batch onto the device while the step
             # executes (dispatch is async; the transfer rides alongside).
-            pending_batch = device_batch(next(loader))
+            pending_batch = fetch_batch()
             pending_stats.append(step_stats)
             steps_done += 1
             cumulative_training_time += time.time() - batch_start
+            if pbar is not None:
+                pbar.update(nimg_per_step)
     finally:
+        if pbar is not None:
+            pbar.close()
         if ckpt_holder["io"] is not None:
             ckpt_holder["io"].wait()
         loader.close()
