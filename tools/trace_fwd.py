@@ -105,7 +105,7 @@ def main():
     ap.add_argument("--ch", type=int, default=64)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--iters", type=int, default=8)
-    ap.add_argument("--what", default="fwd", choices=("fwd", "train"))
+    ap.add_argument("--what", default="fwd", choices=("fwd", "train", "sr"))
     ap.add_argument("--trace", default=None,
                     help="analyze an existing trace.json.gz instead")
     args = ap.parse_args()
@@ -140,6 +140,24 @@ def main():
         fn_args = (state, batch, jax.random.PRNGKey(2))
         srcmap = hlo_source_map(step.lower(*fn_args).compile())
         path = capture(step, fn_args, iters=args.iters)
+    elif args.what == "sr":
+        # The production SR serving forward (generate_images.py:310-327):
+        # 256px super-res model, ch=64, conditioning image.
+        res = 256
+        cfg = PrecondConfig(img_resolution=res, num_sources=2,
+                            model_channels=args.ch, super_res=True,
+                            use_bf16=True, remat=False)
+        params = precond_init(jax.random.PRNGKey(0), cfg)
+        src = jax.random.normal(key, (b, 2, res, res, 3))
+        dst = jax.random.normal(jax.random.fold_in(key, 1), (b, res, res, 3))
+        sigma = jnp.exp(jax.random.normal(jax.random.fold_in(key, 2), (b,)))
+        geometry = jax.random.normal(jax.random.fold_in(key, 3), (b, 2, 20))
+        cond = jax.random.normal(jax.random.fold_in(key, 4), (b, res, res, 3))
+        fwd = jax.jit(lambda p, s, d, sg, g, c: precond_apply(
+            p, cfg, s, d, sg, g, conditioning_image=c))
+        fn_args = (params, src, dst, sigma, geometry, cond)
+        srcmap = hlo_source_map(fwd.lower(*fn_args).compile())
+        path = capture(fwd, fn_args, iters=args.iters)
     else:
         cfg = PrecondConfig(img_resolution=64, num_sources=2,
                             model_channels=args.ch, extra_attn=1,

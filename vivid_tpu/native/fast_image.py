@@ -91,6 +91,29 @@ def decode_png_rgb(data: bytes) -> np.ndarray:
     return out
 
 
+def probe_dims(path: str):
+    """(height, width) of an image file WITHOUT decoding pixel data: the
+    native PNG header parse needs only the 33-byte IHDR; non-PNG (or
+    unsupported PNG) falls back to PIL's lazy open, which also reads just
+    the header. Lets dataset code compute crops/intrinsics for frames it
+    may never decode (see data/re10k_scenes.LazyFrames)."""
+    lib = _load()
+    if lib is not None and path.lower().endswith(".png"):
+        with open(path, "rb") as f:
+            head = f.read(64)
+        buf = np.frombuffer(head, np.uint8)
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        rc = lib.png_dims(buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                          ctypes.c_long(buf.size), ctypes.byref(w),
+                          ctypes.byref(h))
+        if rc == 0:
+            return h.value, w.value
+    import PIL.Image
+    with PIL.Image.open(path) as im:
+        return im.height, im.width
+
+
 def load_rgb(path: str) -> np.ndarray:
     """Load an image file as uint8 [H,W,3] RGB: native PNG decoder on the
     hot path (the loader is host-bound on small-core machines), PIL for
