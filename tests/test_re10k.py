@@ -109,3 +109,26 @@ def test_re10k_item_dataset(tree):
     assert item["sr_src_image"].shape == (256, 256, 3)
     assert item["geometry"].shape == (20,)
     assert np.isfinite(item["geometry"]).all()
+
+
+def test_probe_dims_matches_decode(tree):
+    from vivid_tpu.native.fast_image import load_rgb, probe_dims
+    frame_dir = os.path.join(tree, "train", "seq000")
+    path = os.path.join(frame_dir, sorted(os.listdir(frame_dir))[0])
+    h, w = probe_dims(path)
+    assert (h, w) == load_rgb(path).shape[:2] == (360, 640)
+
+
+def test_lazy_frames_decode_on_demand(tree):
+    ds = RealEstate10KScenes(tree, split="train", views_per_scene=6)
+    scene = next(iter(ds))
+    imgs = scene["image"]
+    from vivid_tpu.data.re10k_scenes import LazyFrames
+    assert isinstance(imgs, LazyFrames)
+    assert imgs._cache == {}          # header probe only, nothing decoded
+    one = imgs[1]
+    assert one.shape == (360, 360, 3) and one.dtype == np.uint8
+    assert list(imgs._cache) == [1]   # only the touched frame decoded
+    dense = np.asarray(imgs)          # __array__ decodes the rest
+    assert dense.shape == imgs.shape
+    np.testing.assert_array_equal(dense[1], one)

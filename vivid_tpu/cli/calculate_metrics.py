@@ -15,7 +15,7 @@ import numpy as np
 import PIL.Image
 import tqdm
 
-from vivid_tpu.core import dist
+from vivid_tpu.core import dist, util
 from vivid_tpu.core.easydict import EasyDict
 from vivid_tpu.metrics.frechet import calculate_metrics_from_stats_nvs
 from vivid_tpu.metrics.stats import (calculate_stats_for_iterable_nvs,
@@ -81,6 +81,7 @@ def cmdline():
     # Calculate metrics for saved image triplets
     python calculate_metrics.py calc --images=out --ref=ref-stats.pkl
     """
+    util.enable_persistent_compilation_cache()
 
 
 @cmdline.command()

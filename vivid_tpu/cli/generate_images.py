@@ -9,7 +9,7 @@ import re
 import click
 import tqdm
 
-from vivid_tpu.core import dist
+from vivid_tpu.core import dist, util
 from vivid_tpu.core.easydict import EasyDict
 from vivid_tpu.generate import config_presets, generate_images_nvs
 
@@ -61,6 +61,7 @@ def cmdline(preset, data_path, **opts):
     \b
     python generate_images.py --net=network-snapshot.pkl --data=scenes/ --outdir=out
     """
+    util.enable_persistent_compilation_cache()
     opts = EasyDict(opts)
     if preset is not None:
         if preset not in config_presets:

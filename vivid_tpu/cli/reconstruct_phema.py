@@ -24,6 +24,8 @@ from vivid_tpu.diffusion.phema import list_phema_snapshots, reconstruct_phema
 @click.option("--out-nimg", "out_nimg", type=int, default=None,
               help="Reconstruction point in images [default: latest snapshot]")
 def main(in_dir, out_dir, out_std, out_nimg):
+    from vivid_tpu.core import util
+    util.enable_persistent_compilation_cache()
     stds = [float(s) for s in str(out_std).split(",") if s]
     snaps = list_phema_snapshots(in_dir)
     if not snaps:

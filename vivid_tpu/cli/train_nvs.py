@@ -13,7 +13,7 @@ import os
 
 import click
 
-from vivid_tpu.core import dist
+from vivid_tpu.core import dist, util
 from vivid_tpu.core.easydict import EasyDict
 from vivid_tpu.core.logger import Logger
 
@@ -182,6 +182,7 @@ def launch_training(run_dir, c):
 @click.option("--debug-nans", help="Enable jax NaN debugging (slow)", is_flag=True)
 @click.option("--dry-run", help="Print training options and exit", is_flag=True)
 def cmdline(outdir, dry_run, debug_nans, **opts):
+    util.enable_persistent_compilation_cache()
     if debug_nans:
         import jax
         jax.config.update("jax_debug_nans", True)

@@ -30,6 +30,25 @@ def make_cache_dir_path(*paths) -> str:
     return path
 
 
+def enable_persistent_compilation_cache():
+    """Point JAX's persistent compilation cache at a stable directory so
+    fresh CLI processes reuse compiled executables (cold train-step/sampler
+    compiles take minutes on remote-compile TPU backends; warm loads take
+    seconds — see tools/prime_cache.py to pre-seed). Override the location
+    with VIVID_COMP_CACHE, disable with VIVID_COMP_CACHE=0. Safe to call
+    after backends are initialized; errors are non-fatal."""
+    loc = os.environ.get("VIVID_COMP_CACHE")
+    if loc == "0":
+        return
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          loc or os.path.expanduser("~/.cache/jax_comp_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+
 def is_url(obj, allow_file_urls: bool = False) -> bool:
     if not isinstance(obj, str) or "://" not in obj:
         return False
