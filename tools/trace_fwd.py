@@ -153,9 +153,10 @@ def main():
         sigma = jnp.exp(jax.random.normal(jax.random.fold_in(key, 2), (b,)))
         geometry = jax.random.normal(jax.random.fold_in(key, 3), (b, 2, 20))
         cond = jax.random.normal(jax.random.fold_in(key, 4), (b, res, res, 3))
-        fwd = jax.jit(lambda p, s, d, sg, g, c: precond_apply(
-            p, cfg, s, d, sg, g, conditioning_image=c))
-        fn_args = (params, src, dst, sigma, geometry, cond)
+        fwd = jax.jit(lambda p, s, d, sg, g, c, k: precond_apply(
+            p, cfg, s, d, sg, g, conditioning_image=c, rng=k))
+        fn_args = (params, src, dst, sigma, geometry, cond,
+                   jax.random.PRNGKey(7))
         srcmap = hlo_source_map(fwd.lower(*fn_args).compile())
         path = capture(fwd, fn_args, iters=args.iters)
     else:
