@@ -73,10 +73,19 @@ def main():
                                    exps), donate_argnums=0)
     state = init_train_state(params, tcfg)
 
+    # Sample INSIDE the trained noise range: the production P(-0.8, 1.6)
+    # training distribution concentrates at sigma ~0.04-2.2, and a 2000-step
+    # overfit has no coverage above that, so launching the sampler from the
+    # production sigma_max=80 walks through an untrained regime and lands in
+    # the wrong memorized view's basin (measured: denoise PSNR 34.6 dB at
+    # sigma=0.1, 29.7 at 1.0, 10.9 at 20). sigma_max=2 keeps the whole
+    # trajectory on trained ground — the demonstration is of learning + the
+    # sampler mechanics, not of full-scale noise coverage (which needs
+    # production-length training).
     @jax.jit
     def sample(p, src, geometry, noise):
         den = make_denoiser(p, cfg, src=src, geometry=geometry)
-        return edm_sampler(den, noise, num_steps=16)
+        return edm_sampler(den, noise, num_steps=16, sigma_max=2.0)
 
     # Fixed eval batch (reused for the before/after PSNR comparison).
     ev = next(loader)
@@ -89,6 +98,9 @@ def main():
 
     before = np.asarray(sample(state.params, ev_src, ev_geo, ev_noise))
     psnr_before = psnr(before, ev_tgt)
+    # Copy-the-source floor: a model that ignores geometry and emits the
+    # first source view scores this; reconstruction must beat it.
+    psnr_src_floor = psnr(np.asarray(ev_src)[:, 0], ev_tgt)
 
     losses = []
     t0 = time.time()
@@ -118,6 +130,7 @@ def main():
                   imsize=args.imsize, loss_curve=losses,
                   loss_head_third=head, loss_tail_third=tail,
                   psnr_before_db=psnr_before, psnr_after_db=psnr_after,
+                  psnr_src_floor_db=psnr_src_floor,
                   psnr_after_ema_db=psnr_ema, psnr_after_raw_db=psnr_raw,
                   wall_s=round(time.time() - t0, 1),
                   device=str(jax.devices()[0].platform))
@@ -129,7 +142,7 @@ def main():
     ok = tail < 0.7 * head and psnr_after > psnr_before + 3.0
     print("CONVERGENCE", "OK" if ok else "FAILED",
           f"(loss {head:.3f}->{tail:.3f}, psnr {psnr_before:.1f}->"
-          f"{psnr_after:.1f} dB)")
+          f"{psnr_after:.1f} dB, copy-src floor {psnr_src_floor:.1f})")
     sys.exit(0 if ok else 1)
 
 

@@ -39,24 +39,38 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 
-def conv_stack(n_layers):
+def conv_stack(n_layers, epilogue=None):
     def fn(x, w):
         for _ in range(n_layers):
             x = jax.lax.conv_general_dilated(
                 x, w, (1, 1), "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            if epilogue is not None:
+                x = epilogue(x)
         return x
     return jax.jit(fn)
 
 
-def time_stack(name, shape, cin, cout, n_layers=8, dtype=jnp.bfloat16):
+def block_epilogue(x):
+    """The level-0 block's per-conv elementwise work, as the model runs it:
+    fp32 pixel norm over channels (enc flavor), mp_silu with an emb gain,
+    and the clip_act clamp (blocks.py block_apply)."""
+    x32 = x.astype(jnp.float32)
+    norm = jnp.sqrt(jnp.sum(x32 * x32, axis=-1, keepdims=True))
+    x = x / (1e-4 + norm / np.sqrt(x.shape[-1])).astype(x.dtype)
+    x = jax.nn.silu(x * 1.01) / 0.596
+    return jnp.clip(x, -256, 256)
+
+
+def time_stack(name, shape, cin, cout, n_layers=8, dtype=jnp.bfloat16,
+               epilogue=None):
     b, h, w = shape
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (b, h, w, cin), dtype)
     wgt = (jax.random.normal(jax.random.fold_in(key, 1), (3, 3, cin, cout),
-                             dtype) / (3 * np.sqrt(cin)))
+                             dtype) / float(3 * np.sqrt(cin)))
     assert cin == cout, "chained timing needs matching in/out"
-    fn = conv_stack(n_layers)
+    fn = conv_stack(n_layers, epilogue)
 
     def chain(iters):
         t0 = time.perf_counter()
@@ -88,6 +102,12 @@ def main():
     time_stack("d.base-shape", (16, 64, 64), 64, 64, L)
     time_stack("e.s2d-packed", (16, 128, 128), 256, 256, L)
     time_stack("f.w-packed", (16, 256, 128), 128, 128, L)
+    time_stack("g.base+epi", (16, 256, 256), 64, 64, L,
+               epilogue=block_epilogue)
+    time_stack("h.wpack+epi", (16, 256, 128), 128, 128, L,
+               epilogue=block_epilogue)
+    time_stack("i.wide+epi", (16, 128, 128), 128, 128, L,
+               epilogue=block_epilogue)
 
 
 if __name__ == "__main__":

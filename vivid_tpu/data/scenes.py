@@ -79,9 +79,33 @@ class SceneDataset:
 def synthesize_scene(rng: np.random.RandomState, num_views: int = 8,
                      imsize: int = 64) -> dict:
     """Procedural scene for tests/benchmarks: textured gradient views of a
-    smooth camera track with plausible RealEstate10K-scale intrinsics."""
+    smooth camera track with plausible RealEstate10K-scale intrinsics.
+
+    The base texture is LOW-FREQUENCY (random coarse grid bilinearly
+    upsampled + a faint mid-frequency layer), not white noise: views must be
+    compressible for overfit/convergence smokes to be able to reconstruct
+    them from conditioning (a U-Net cannot memorize per-pixel white noise
+    through a 20-d geometry key), and smooth textures make adjacent views
+    correlated the way real scenes are."""
     views, c2ws, ks = [], [], []
-    base = rng.rand(imsize * 2, imsize * 2, 3) * 255
+
+    def _smooth(cells, size):
+        g = rng.rand(cells, cells, 3)
+        yi = np.linspace(0, cells - 1, size)
+        xi = np.linspace(0, cells - 1, size)
+        y0 = np.clip(yi.astype(int), 0, cells - 2)
+        x0 = np.clip(xi.astype(int), 0, cells - 2)
+        fy = (yi - y0)[:, None, None]
+        fx = (xi - x0)[None, :, None]
+        a = g[y0][:, x0]
+        b = g[y0][:, x0 + 1]
+        c = g[y0 + 1][:, x0]
+        d = g[y0 + 1][:, x0 + 1]
+        return (a * (1 - fy) * (1 - fx) + b * (1 - fy) * fx
+                + c * fy * (1 - fx) + d * fy * fx)
+
+    size = imsize * 2
+    base = (0.85 * _smooth(6, size) + 0.15 * _smooth(24, size)) * 255
     for v in range(num_views):
         ox, oy = v % (imsize // 2), (v * 3) % (imsize // 2)
         img = base[oy:oy + imsize, ox:ox + imsize]

@@ -49,6 +49,7 @@ class BlockConfig:
     clip_act: Optional[float] = 256.0
     epipolar_attention_bias: bool = False
     imsize: Optional[int] = None     # full image resolution (epipolar bias)
+    wpack: bool = False              # width-packed conv execution (nn/wpack.py)
 
     @property
     def num_heads(self) -> int:
@@ -151,6 +152,33 @@ def attention_with_zero_sink(q, k, v, num_zero_cols: int):
     return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
 
 
+def _block_apply_wpacked(params: dict, cfg: BlockConfig, x, emb):
+    """The attention-free residual branch of block_apply on the width-packed
+    layout (see the dispatch comment in block_apply). Mirrors the plain path
+    statement-for-statement; per-pixel channel ops run on the [..., 2, C]
+    view of the packed minor dim (free reshapes)."""
+    from vivid_tpu.nn.mp import mp_conv_apply_wpacked
+    from vivid_tpu.nn.wpack import packed_channel_op, tile_gain, wpack, wunpack
+
+    xp = wpack(x)
+    if cfg.flavor == "enc":
+        if "conv_skip" in params:
+            xp = mp_conv_apply_wpacked(params["conv_skip"], xp)
+        xp = packed_channel_op(xp, lambda v: normalize(v, axis=-1))
+
+    y = mp_conv_apply_wpacked(params["conv_res0"], mp_silu(xp))
+    c = mp_conv_apply(params["emb_linear"], emb, gain=params["emb_gain"]) + 1.0
+    y = mp_silu(y * tile_gain(c)[:, None, None, :].astype(y.dtype))
+    y = mp_conv_apply_wpacked(params["conv_res1"], y)
+
+    if cfg.flavor == "dec" and "conv_skip" in params:
+        xp = mp_conv_apply_wpacked(params["conv_skip"], xp)
+    xp = mp_sum(xp, y, t=cfg.res_balance)
+    if cfg.clip_act is not None:
+        xp = jnp.clip(xp, -cfg.clip_act, cfg.clip_act)
+    return wunpack(xp)
+
+
 def block_apply(params: dict, cfg: BlockConfig, x, emb,
                 features: Optional[List[jax.Array]] = None,
                 src_geometries: Optional[List[jax.Array]] = None,
@@ -161,6 +189,19 @@ def block_apply(params: dict, cfg: BlockConfig, x, emb,
     Under an active core.sharding.act_sharding context the block pins its
     activations to the mesh (tensor parallel: conv channels + attention
     heads; sequence parallel: image rows) — no-ops otherwise."""
+    from vivid_tpu.core.sharding import act_spec_active
+
+    # Width-packed execution (nn/wpack.py): attention-free narrow-channel
+    # blocks at large spatial resolution (the SR 256px level 0) run their
+    # whole residual branch on a [B, H, W/2, 2C] layout — fills the TPU's
+    # 128 lanes/MXU that C=64 half-fills. Exact numerics (embedded kernels;
+    # tests/test_wpack.py, test_wpack_model.py). Dropout's mask layout
+    # differs on the packed shape, so training with dropout>0 falls back.
+    if (cfg.wpack and cfg.num_heads == 0 and cfg.resample_mode == "keep"
+            and x.shape[2] % 2 == 0 and not (train and cfg.dropout > 0)
+            and not act_spec_active()):
+        return _block_apply_wpacked(params, cfg, x, emb)
+
     x = resample(x, cfg.resample_mode)
     x = constrain(x, "conv")
     if cfg.flavor == "enc":

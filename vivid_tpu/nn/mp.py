@@ -138,6 +138,29 @@ def mp_conv_apply(params, x, gain=1.0):
     ), "mpconv_out")
 
 
+def mp_conv_apply_wpacked(params, xp, gain=1.0):
+    """MPConv on a width-packed tensor (nn/wpack.py): xp [B, H, W/2, 2*cin]
+    -> [B, H, W/2, 2*cout]. The weight is RMS-normalized UNPACKED (identical
+    filter norms to the plain path), then embedded into the packed
+    [3,3,2cin,2cout] / block-diagonal [1,1,2cin,2cout] kernel — numerics are
+    exact vs mp_conv_apply on the unpacked tensor (tests/test_wpack.py).
+    Purpose: C<128 conv stacks at large spatial (the SR 256px level 0)
+    half-fill the TPU's 128 lanes/MXU; packing two adjacent pixels per
+    channel row runs ~1.8x faster despite the 2x embedded MACs
+    (tools/sr_conv_lab.py)."""
+    from jax.ad_checkpoint import checkpoint_name
+    from vivid_tpu.nn.wpack import pack_conv_weight, pack_conv_weight_1x1
+    w = _normalized_weight(params["w"], gain).astype(xp.dtype)
+    assert w.ndim == 4, w.shape
+    wp = (pack_conv_weight(w) if w.shape[0] == 3
+          else pack_conv_weight_1x1(w))
+    pad = ((wp.shape[0] // 2,) * 2, (wp.shape[1] // 2,) * 2)
+    return checkpoint_name(jax.lax.conv_general_dilated(
+        xp, wp, window_strides=(1, 1), padding=pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ), "mpconv_out")
+
+
 def force_weight_normalize(params):
     """Forced weight normalization (EDM2 Eq. 66): renormalize every MPConv
     weight leaf to unit magnitude per output channel. Apply to the param tree

@@ -58,6 +58,8 @@ class PrecondConfig:
     remat: object = True                  # False | True | "save_dots"
     scan_blocks: bool = False             # lax.scan over equal-config block runs
     force_wn: bool = False                # forced weight normalization (Eq. 66)
+    wpack: Optional[bool] = None          # width-packed level-0 convs (nn/wpack.py);
+                                          # None = auto (UNetConfig.wpack_on)
 
     def _unet_common(self):
         return dict(
@@ -75,6 +77,7 @@ class PrecondConfig:
             dropout=self.dropout,
             remat=self.remat,
             scan_blocks=self.scan_blocks,
+            wpack=self.wpack,
         )
 
     @property

@@ -59,10 +59,20 @@ class UNetConfig:
                                           # only the elementwise chains
     scan_blocks: bool = False             # lax.scan over equal-config block
                                           # runs (smaller HLO, faster compile)
+    wpack: Optional[bool] = None          # width-packed level-0 convs
+                                          # (nn/wpack.py); None = auto (on for
+                                          # >=128px images with <128-channel
+                                          # level 0 — the SR serving shape)
 
     @property
     def cblock(self):
         return [self.model_channels * m for m in self.channel_mult]
+
+    @property
+    def wpack_on(self) -> bool:
+        if self.wpack is not None:
+            return self.wpack
+        return self.img_resolution >= 128 and self.cblock[0] < 128
 
     @property
     def cnoise(self):
@@ -111,7 +121,9 @@ def _block(cfg: UNetConfig, cin, cout, flavor, res, attention=False,
         dropout=cfg.dropout, res_balance=cfg.res_balance,
         attn_balance=cfg.attn_balance, clip_act=cfg.clip_act,
         epipolar_attention_bias=cfg.epipolar_attention_bias,
-        imsize=cfg.img_resolution)
+        imsize=cfg.img_resolution,
+        wpack=(cfg.wpack_on and res == cfg.img_resolution and cout < 128
+               and resample_mode == "keep" and not attention))
 
 
 def build_plan(cfg: UNetConfig) -> Tuple[List[PlanEntry], List[PlanEntry]]:
@@ -242,6 +254,20 @@ def unet_apply(params, cfg: UNetConfig, x, noise_labels, geometry,
     """
     enc, dec = build_plan(cfg)
     emb = compute_emb(params, cfg, noise_labels, geometry)
+
+    # Width-packed execution of the level-0 edge convs (first conv and
+    # out_conv) whenever the level-0 blocks are packed too — same rationale
+    # and exactness argument (nn/wpack.py; the pack/unpack reshapes between
+    # adjacent packed ops are free views XLA cancels).
+    from vivid_tpu.core.sharding import act_spec_active
+
+    def _level0_conv(p, h, gain=1.0):
+        if cfg.wpack_on and h.shape[2] % 2 == 0 and not act_spec_active():
+            from vivid_tpu.nn.mp import mp_conv_apply_wpacked
+            from vivid_tpu.nn.wpack import wpack, wunpack
+            return wunpack(mp_conv_apply_wpacked(p, wpack(h), gain=gain))
+        return mp_conv_apply(p, h, gain=gain)
+
     zeros_mode = isinstance(features, str) and features == "zeros"
     feat_iter = (iter(features)
                  if features is not None and not zeros_mode else None)
@@ -325,7 +351,7 @@ def unet_apply(params, cfg: UNetConfig, x, noise_labels, geometry,
         if len(run) == 1:
             e = run[0]
             if e.kind == "conv":
-                h = mp_conv_apply(params[e.name], h)
+                h = _level0_conv(params[e.name], h)
             else:
                 h = run_block(e, h)
             if (cfg.kind == "encoder" and e.block is not None
@@ -355,4 +381,4 @@ def unet_apply(params, cfg: UNetConfig, x, noise_labels, geometry,
 
     if cfg.kind == "encoder":
         return collected
-    return mp_conv_apply(params["out_conv"], h, gain=params["out_gain"])
+    return _level0_conv(params["out_conv"], h, gain=params["out_gain"])
