@@ -28,9 +28,14 @@ def main():
                     help="override remat mode: true|false|save_dots")
     ap.add_argument("--flagship", action="store_true",
                     help="ch=128 with the production label dims")
+    ap.add_argument("--sr", action="store_true",
+                    help="SR config: 256px ch=64 super_res + SRNVLoss "
+                    "(reference vivid-sr preset shapes)")
+    ap.add_argument("--no-wpack", action="store_true",
+                    help="disable width-packed level-0 convs (ablation)")
     args = ap.parse_args()
 
-    from vivid_tpu.diffusion.loss import NVLoss
+    from vivid_tpu.diffusion.loss import NVLoss, SRNVLoss
     from vivid_tpu.diffusion.phema import std_to_exp
     from vivid_tpu.nn.precond import PrecondConfig, precond_init
     from vivid_tpu.train.step import (TrainConfig, init_train_state,
@@ -47,20 +52,27 @@ def main():
               remat=remat)
     if args.flagship:
         kw.update(model_channels=128, source_label_dim=20, target_label_dim=40)
+    elif args.sr:
+        kw.update(img_resolution=256, model_channels=64, super_res=True,
+                  extra_attn=0)
     else:
         kw.update(model_channels=args.ch)
+    if args.no_wpack:
+        kw.update(wpack=False)
     cfg = PrecondConfig(**kw)
     params = precond_init(jax.random.PRNGKey(0), cfg)
     n = sum(int(x.size) for x in jax.tree.leaves(params))
     b = args.batch
     tcfg = TrainConfig(batch_size=b, ref_lr=1e-3, rampup_Mimg=0, nimg_mult=6)
     exps = tuple(float(std_to_exp(s) + 1) for s in tcfg.ema_stds)
-    step = jax.jit(make_train_step(NVLoss(P_mean=-0.8, P_std=1.6), cfg, tcfg,
-                                   exps), donate_argnums=0)
+    loss_cls = SRNVLoss if args.sr else NVLoss
+    step = jax.jit(make_train_step(loss_cls(P_mean=-0.8, P_std=1.6), cfg,
+                                   tcfg, exps), donate_argnums=0)
     state = init_train_state(params, tcfg)
     key = jax.random.PRNGKey(1)
-    batch = {"src": jax.random.normal(key, (b, 2, 64, 64, 3)),
-             "tgt": jax.random.normal(jax.random.fold_in(key, 1), (b, 64, 64, 3)),
+    res = cfg.img_resolution
+    batch = {"src": jax.random.normal(key, (b, 2, res, res, 3)),
+             "tgt": jax.random.normal(jax.random.fold_in(key, 1), (b, res, res, 3)),
              "geometry": jax.random.normal(jax.random.fold_in(key, 2), (b, 2, 20))}
 
     t0 = time.perf_counter()
@@ -82,7 +94,8 @@ def main():
     t1 = min(chain(3) for _ in range(2))
     t2 = min(chain(13) for _ in range(2))
     dt = (t2 - t1) / 10
-    print(f"train step ch={kw['model_channels']} b={b} "
+    print(f"train step{' SR' if args.sr else ''} "
+          f"ch={kw['model_channels']} b={b} "
           f"remat={remat} ({n / 1e6:.1f}M params): "
           f"{dt * 1e3:.1f} ms = {b * 6 / dt:.0f} nimg/s "
           f"({b / dt:.0f} pairs/s)", flush=True)
