@@ -108,6 +108,8 @@ def main():
     ap.add_argument("--what", default="fwd", choices=("fwd", "train", "sr"))
     ap.add_argument("--trace", default=None,
                     help="analyze an existing trace.json.gz instead")
+    ap.add_argument("--wpack", default=None, choices=("on", "off"),
+                    help="override the width-packed level-0 conv auto rule")
     args = ap.parse_args()
     if args.trace:
         analyze(args.trace, args.iters)
@@ -116,6 +118,7 @@ def main():
     from vivid_tpu.nn.precond import PrecondConfig, precond_apply, precond_init
     b = args.batch
     key = jax.random.PRNGKey(1)
+    wp = {} if args.wpack is None else dict(wpack=args.wpack == "on")
     if args.what == "train":
         from vivid_tpu.diffusion.loss import NVLoss
         from vivid_tpu.diffusion.phema import std_to_exp
@@ -123,7 +126,7 @@ def main():
                                           make_train_step)
         cfg = PrecondConfig(img_resolution=64, num_sources=2,
                             model_channels=args.ch, extra_attn=1,
-                            use_bf16=True, remat=True)
+                            use_bf16=True, remat=True, **wp)
         params = precond_init(jax.random.PRNGKey(0), cfg)
         tcfg = TrainConfig(batch_size=b, ref_lr=1e-3, rampup_Mimg=0,
                            nimg_mult=6)
@@ -146,7 +149,7 @@ def main():
         res = 256
         cfg = PrecondConfig(img_resolution=res, num_sources=2,
                             model_channels=args.ch, super_res=True,
-                            use_bf16=True, remat=False)
+                            use_bf16=True, remat=False, **wp)
         params = precond_init(jax.random.PRNGKey(0), cfg)
         src = jax.random.normal(key, (b, 2, res, res, 3))
         dst = jax.random.normal(jax.random.fold_in(key, 1), (b, res, res, 3))
@@ -162,7 +165,7 @@ def main():
     else:
         cfg = PrecondConfig(img_resolution=64, num_sources=2,
                             model_channels=args.ch, extra_attn=1,
-                            use_bf16=True, remat=False)
+                            use_bf16=True, remat=False, **wp)
         params = precond_init(jax.random.PRNGKey(0), cfg)
         src = jax.random.normal(key, (b, 2, 64, 64, 3))
         dst = jax.random.normal(jax.random.fold_in(key, 1), (b, 64, 64, 3))
