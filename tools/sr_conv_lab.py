@@ -108,6 +108,13 @@ def main():
                epilogue=block_epilogue)
     time_stack("i.wide+epi", (16, 128, 128), 128, 128, L,
                epilogue=block_epilogue)
+    # Base-model level-0 shape (64px): is w-packing worth it there too?
+    # Predicted no — the unpacked convs already run near the half-lane
+    # ceiling (~89 TF/s), so the packed 2x-FLOPs form would need >178.
+    time_stack("j.base64-wpack", (16, 64, 32), 128, 128, L,
+               epilogue=block_epilogue)
+    time_stack("k.base64-plain", (16, 64, 64), 64, 64, L,
+               epilogue=block_epilogue)
 
 
 if __name__ == "__main__":
