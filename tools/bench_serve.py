@@ -118,6 +118,8 @@ def main():
     ap.add_argument("--what", default="sweep")
     ap.add_argument("--ch", type=int, default=64)
     ap.add_argument("--batches", default="16,32,64")
+    ap.add_argument("--batch", type=int, default=8,
+                    help="cascade batch size")
     args = ap.parse_args()
     if args.what == "sweep":
         for b in [int(x) for x in args.batches.split(",")]:
@@ -125,9 +127,9 @@ def main():
             print(f"guided ch={args.ch} b={b}: {rate:.2f} img/s "
                   f"({per * 1e3:.0f} ms/batch)", flush=True)
     else:
-        rate, per = cascade()
-        print(f"FLAGSHIP cascade b=8: {rate:.2f} img/s ({per:.2f} s/batch)",
-              flush=True)
+        rate, per = cascade(batch=args.batch)
+        print(f"FLAGSHIP cascade b={args.batch}: {rate:.2f} img/s "
+              f"({per:.2f} s/batch)", flush=True)
 
 
 if __name__ == "__main__":
