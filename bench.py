@@ -27,9 +27,36 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 A40_BASELINE_TFLOPS = 1.70  # visualize.json: 733.53 GMACs in 863.91 ms
 
 
+def _tunnel_note():
+    """The axon TPU tunnel has transient outages (backend init raises
+    UNAVAILABLE). Probe it in a subprocess (a failed in-process init can
+    stick); wait up to VIVID_BENCH_TUNNEL_WAIT_S (default 20 min), then fall
+    back to CPU so the bench still emits its one JSON line — with an explicit
+    note, so a down tunnel is never mistaken for a framework regression."""
+    import subprocess
+    probe = ("import jax, numpy as np; x = jax.numpy.ones((4, 4)); "
+             "assert float(np.asarray((x @ x)[0, 0])) == 4.0")
+    wait_s = float(os.environ.get("VIVID_BENCH_TUNNEL_WAIT_S", "1200"))
+    deadline = time.time() + wait_s
+    while True:
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               capture_output=True, timeout=150)
+            if r.returncode == 0:
+                return None
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            jax.config.update("jax_platforms", "cpu")
+            return ("TPU tunnel unavailable for %.0f min; CPU fallback — "
+                    "value is NOT a TPU measurement" % (wait_s / 60))
+        time.sleep(60)
+
+
 def main():
     from vivid_tpu.nn.precond import PrecondConfig, precond_apply, precond_init
 
+    note = _tunnel_note()
     on_tpu = jax.devices()[0].platform != "cpu"
     batch = 16 if on_tpu else 2
     cfg = PrecondConfig(img_resolution=64, num_sources=2, model_channels=64,
@@ -116,6 +143,7 @@ def main():
             "platform": jax.devices()[0].platform,
             "guided_sampler_img_per_s": (round(sampler_img_s, 2)
                                          if sampler_img_s else None),
+            **({"note": note} if note else {}),
         },
     }))
 
