@@ -139,3 +139,29 @@ def test_geometry_matches_jax_codec():
     a = compose_geometry_np(pose, src_K, tgt_K, imsize=64)
     b = np.asarray(compose_geometry(pose.astype(np.float32), src_K, tgt_K, imsize=64))
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_per_view_scene_layout_roundtrip(tmp_path):
+    """save_scene's per-view layout loads lazily (LazyViews) and matches the
+    legacy monolithic layout exactly; collates consume both identically."""
+    from vivid_tpu.data.scenes import LazyViews, load_scene, save_scene
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (8, 64, 64, 3), np.uint8)
+    c2w = np.stack([np.eye(4, dtype=np.float32)] * 8)
+    k = rng.rand(8, 4).astype(np.float32)
+    new = str(tmp_path / "new.npz")
+    old = str(tmp_path / "old.npz")
+    save_scene(new, img, c2w, k)                    # per-view default
+    save_scene(old, img, c2w, k, per_view=False)    # legacy
+    sc_new, sc_old = load_scene(new), load_scene(old)
+    assert isinstance(sc_new["image"], LazyViews)
+    assert isinstance(sc_old["image"], np.ndarray)
+    assert sc_new["image"].shape == sc_old["image"].shape == img.shape
+    assert np.array_equal(np.asarray(sc_new["image"]), img)
+    assert np.array_equal(sc_new["image"][5], img[5])
+    # Same collate RNG -> identical rows from either layout.
+    r_new = DualSourceCollate(imsize=32, seed=7).rows_from_scene(sc_new)
+    r_old = DualSourceCollate(imsize=32, seed=7).rows_from_scene(sc_old)
+    for a, b in zip(r_new, r_old):
+        for key in a:
+            assert np.array_equal(a[key], b[key]), key

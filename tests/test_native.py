@@ -110,3 +110,19 @@ def test_collate_uses_fast_path_when_available():
     assert out.shape == (64, 64, 3)
     assert out.dtype == np.float32
     assert 0 <= out.min() and out.max() <= 255
+
+
+@pytest.mark.skipif(not fast_resize_available(),
+                    reason="no C toolchain in this environment")
+def test_box_downscale_matches_numpy_mean():
+    """resize_box_u8 must be BIT-identical to the numpy reshape+mean fast
+    path it replaces (integer sums are exact in fp32, both divide last)."""
+    from vivid_tpu.native.fast_image import resize_box_u8
+    rng = np.random.RandomState(1)
+    for f, size in [(2, 128), (3, 32), (4, 64)]:
+        img = rng.randint(0, 256, (size * f, size * f, 3), np.uint8)
+        want = img.reshape(size, f, size, f, 3).mean(axis=(1, 3),
+                                                     dtype=np.float32)
+        got = resize_box_u8(img, f)
+        assert got.dtype == np.float32 and got.shape == want.shape
+        assert np.array_equal(got, want), (f, np.abs(got - want).max())

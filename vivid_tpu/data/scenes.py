@@ -22,16 +22,64 @@ import numpy as np
 SCENE_KEYS = ("image", "c2w", "fxfycxcy")
 
 
-def save_scene(path: str, image: np.ndarray, c2w: np.ndarray, fxfycxcy: np.ndarray):
-    """image: [V, H, W, 3] uint8 (channel-last); c2w: [V, 4, 4]; fxfycxcy: [V, 4]."""
+def save_scene(path: str, image: np.ndarray, c2w: np.ndarray, fxfycxcy: np.ndarray,
+               per_view: bool = True):
+    """image: [V, H, W, 3] uint8 (channel-last); c2w: [V, 4, 4]; fxfycxcy: [V, 4].
+
+    per_view=True (the default) stores each view as its own zip member
+    (`image_000`, ...) plus an `image_shape` descriptor, so loading can
+    decompress ONLY the views a collate actually samples (3 of V for the
+    dual-source trainer) — whole-scene zlib inflation was 54% of the host
+    loader's single-thread profile. per_view=False writes the legacy
+    monolithic `image` member; load_scene reads both layouts."""
     assert image.ndim == 4 and image.shape[-1] == 3, image.shape
-    np.savez_compressed(path, image=np.asarray(image, np.uint8),
-                        c2w=np.asarray(c2w, np.float32),
-                        fxfycxcy=np.asarray(fxfycxcy, np.float32))
+    image = np.asarray(image, np.uint8)
+    meta = dict(c2w=np.asarray(c2w, np.float32),
+                fxfycxcy=np.asarray(fxfycxcy, np.float32))
+    if per_view:
+        views = {f"image_{i:03d}": image[i] for i in range(image.shape[0])}
+        np.savez_compressed(path, image_shape=np.asarray(image.shape, np.int64),
+                            **meta, **views)
+    else:
+        np.savez_compressed(path, image=image, **meta)
+
+
+class LazyViews:
+    """Array-like [V, H, W, 3] uint8 over a per-view scene .npz, inflating a
+    view's member only when indexed (mirrors re10k_scenes.LazyFrames). The
+    collates index 2-3 of V views per row; everything else reads `.shape`."""
+
+    def __init__(self, path: str, shape):
+        self.path = path
+        self.shape = tuple(int(s) for s in shape)
+        self._cache = {}
+
+    def __len__(self):
+        return self.shape[0]
+
+    def __getitem__(self, i):
+        if isinstance(i, tuple):  # e.g. scene["image"][v, y, x, c]
+            view = self._view(int(i[0]))
+            return view[i[1:]] if len(i) > 1 else view
+        return self._view(int(i))
+
+    def _view(self, i: int):
+        if i not in self._cache:
+            with np.load(self.path) as z:
+                self._cache[i] = z[f"image_{i:03d}"]
+        return self._cache[i]
+
+    def __array__(self, dtype=None, copy=None):
+        arr = np.stack([self[i] for i in range(len(self))])
+        return arr.astype(dtype) if dtype is not None else arr
 
 
 def load_scene(path: str) -> dict:
     with np.load(path) as z:
+        if "image_shape" in z:  # per-view layout: defer pixel inflation
+            scene = {k: z[k] for k in SCENE_KEYS if k in z}
+            scene["image"] = LazyViews(path, z["image_shape"])
+            return scene
         scene = {k: z[k] for k in SCENE_KEYS if k in z}
     img = scene["image"]
     if img.ndim == 4 and img.shape[1] in (1, 3) and img.shape[-1] not in (1, 3):

@@ -305,3 +305,34 @@ int decode_png_rgb(const uint8_t *buf, long len, uint8_t *out) {
     free(raw);
     return 0;
 }
+
+/* Box-filter integer downscale: uint8 [h,w,3] -> float32 [h/f,w/f,3], the
+ * exact area mean over each f x f block. Accumulates in uint32 (f <= 4096
+ * cannot overflow: f*f*255 < 2^32) and divides once in float, which matches
+ * numpy's reshape(...).mean(dtype=float32) bit-for-bit for the block sizes
+ * the loader uses (integer sums are exact in fp32 below 2^24). This is the
+ * collate's hot path for stored-resolution -> train-resolution downscales
+ * (data/collate.py resize_image). */
+void resize_box_u8(const uint8_t *src, int h, int w, int f, float *out) {
+    int oh = h / f, ow = w / f;
+    float n = (float)(f * f);  /* divide (not mul-by-reciprocal): matches
+                                  numpy's true_divide rounding exactly */
+    for (int oy = 0; oy < oh; oy++) {
+        for (int ox = 0; ox < ow; ox++) {
+            uint32_t s0 = 0, s1 = 0, s2 = 0;
+            for (int dy = 0; dy < f; dy++) {
+                const uint8_t *row = src + (((size_t)(oy * f + dy)) * w
+                                            + (size_t)ox * f) * 3;
+                for (int dx = 0; dx < f; dx++) {
+                    s0 += row[dx * 3];
+                    s1 += row[dx * 3 + 1];
+                    s2 += row[dx * 3 + 2];
+                }
+            }
+            float *o = out + ((size_t)oy * ow + ox) * 3;
+            o[0] = (float)s0 / n;
+            o[1] = (float)s1 / n;
+            o[2] = (float)s2 / n;
+        }
+    }
+}

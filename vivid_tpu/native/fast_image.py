@@ -37,6 +37,9 @@ def _load():
     with _lock:
         if _lib is not None or _failed:
             return _lib
+        if os.environ.get("VIVID_NO_NATIVE"):  # force the PIL/numpy paths
+            _failed = True
+            return None
         try:
             if (not os.path.exists(_LIB)
                     or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
@@ -46,6 +49,10 @@ def _load():
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int]
             lib.resize_bilinear_u8.restype = None
+            lib.resize_box_u8.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.POINTER(ctypes.c_float)]
+            lib.resize_box_u8.restype = None
             lib.png_dims.argtypes = [
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
                 ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
@@ -128,6 +135,23 @@ def load_rgb(path: str) -> np.ndarray:
             pass
     import PIL.Image
     return np.asarray(PIL.Image.open(path).convert("RGB"))
+
+
+def resize_box_u8(img: np.ndarray, factor: int) -> np.ndarray:
+    """Integer box-filter downscale: uint8 [H,W,3] -> float32 [H/f,W/f,3],
+    the exact f x f area mean (bit-identical to numpy reshape+mean for the
+    loader's factors). Raises if the native library is unavailable."""
+    lib = _load()
+    assert lib is not None, "native resampler unavailable"
+    img = np.ascontiguousarray(img, np.uint8)
+    h, w = img.shape[:2]
+    assert h % factor == 0 and w % factor == 0, (img.shape, factor)
+    out = np.empty((h // factor, w // factor, 3), np.float32)
+    lib.resize_box_u8(
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int(h), ctypes.c_int(w), ctypes.c_int(factor),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out
 
 
 def resize_bilinear_u8(img: np.ndarray, size: int) -> np.ndarray:
