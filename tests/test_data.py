@@ -159,6 +159,12 @@ def test_per_view_scene_layout_roundtrip(tmp_path):
     assert sc_new["image"].shape == sc_old["image"].shape == img.shape
     assert np.array_equal(np.asarray(sc_new["image"]), img)
     assert np.array_equal(sc_new["image"][5], img[5])
+    # ndarray-contract edges: negative indices, slices, tuple indexing.
+    assert np.array_equal(sc_new["image"][-1], img[-1])
+    assert np.array_equal(sc_new["image"][2:5], img[2:5])
+    assert np.array_equal(sc_new["image"][3, 10:20, 5], img[3, 10:20, 5])
+    with pytest.raises(IndexError):
+        sc_new["image"][8]
     # Same collate RNG -> identical rows from either layout.
     r_new = DualSourceCollate(imsize=32, seed=7).rows_from_scene(sc_new)
     r_old = DualSourceCollate(imsize=32, seed=7).rows_from_scene(sc_old)

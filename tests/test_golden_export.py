@@ -143,6 +143,13 @@ def test_reference_made_pickle_loads_standalone(tmp_path):
     from vivid_tpu.compat.torch_pickle import load_reference_pickle
 
     models = import_reference(REFERENCE)
+    # import_reference must not leave its dep stubs behind: a fake `wandb`
+    # (etc.) in sys.modules would shadow a real later import for the rest
+    # of the process (e.g. the trainer's import-gated wandb logging).
+    for leftover in ("wandb", "kornia", "litdata", "fvcore"):
+        mod = sys.modules.get(leftover)
+        assert mod is None or "compat stub" not in str(
+            getattr(mod, "__file__", "")), leftover
     torch.manual_seed(0)
     net = models.NVPrecond(img_resolution=16, img_channels=3,
                            source_label_dim=20, target_label_dim=40,

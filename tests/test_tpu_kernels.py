@@ -90,6 +90,120 @@ def test_raw_attention_chip_parity(shape, bias_on, zs):
     assert np.abs(got - want).max() < 0.02
 
 
+@pytest.mark.parametrize("shape,zs", [
+    ((4, 1024, 6), 0),
+    ((4, 1024, 4), 2048),
+    ((2, 256, 3), 0),
+])
+def test_packed_bwd_chip_parity(shape, zs):
+    """jax.grad through self_attention_from_packed ON THE CHIP: the packed
+    Pallas backward kernel (the default train path) vs the XLA composite's
+    autodiff. Interpret-mode parity exists (test_flash_fused) but does not
+    exercise Mosaic compilation/tiling/bf16 lane behavior."""
+    import jax
+    import jax.numpy as jnp
+    from vivid_tpu.kernels.attention import self_attention_from_packed
+    assert jax.devices()[0].platform == "tpu"
+    B, S, H = shape
+    qkv = jax.random.normal(jax.random.PRNGKey(0), (B, S, 3 * H * 64),
+                            jnp.bfloat16)
+
+    def loss(x):
+        o = self_attention_from_packed(x, H, zero_sink=zs)
+        return jnp.sum(o.astype(jnp.float32) * jnp.cos(
+            jnp.arange(o.size, dtype=jnp.float32).reshape(o.shape) * 0.01))
+
+    got = np.asarray(jax.jit(jax.grad(loss))(qkv), np.float32)
+    os.environ["VIVID_DISABLE_PALLAS"] = "1"
+    try:
+        want = np.asarray(jax.jit(jax.grad(lambda x: loss(x) * 1.0))(qkv),
+                          np.float32)
+    finally:
+        del os.environ["VIVID_DISABLE_PALLAS"]
+    assert np.abs(want).max() > 0, "vacuous gradient"
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 2e-2, f"rel L2 {rel:.4f}"
+    assert np.abs(got - want).max() < 0.05
+
+
+@pytest.mark.parametrize("bias_on,n_src", [(False, 2), (True, 2), (False, 1)])
+def test_packed_xattn_bwd_chip_parity(bias_on, n_src):
+    """Same as above for the cross-attention packed backward: dqkv, dfeats
+    and (epipolar) dbias all match the XLA composite's autodiff on-chip."""
+    import jax
+    import jax.numpy as jnp
+    from vivid_tpu.kernels.attention import xattn_from_packed
+    assert jax.devices()[0].platform == "tpu"
+    B, S, Sf, H = 2, 1024, 1024, 4
+    key = jax.random.PRNGKey(0)
+    qkv = jax.random.normal(key, (B, S, 3 * H * 64), jnp.bfloat16)
+    feats = tuple(
+        jax.random.normal(jax.random.fold_in(key, i), (B, Sf, 2 * H * 64),
+                          jnp.bfloat16) for i in range(n_src))
+    biases = tuple(
+        0.3 * jax.random.normal(jax.random.fold_in(key, 10 + i),
+                                (B, H, S, Sf), jnp.float32)
+        for i in range(n_src)) if bias_on else ()
+
+    def loss(x, f, bs):
+        o = xattn_from_packed(x, f, H, biases=bs)
+        return jnp.sum(o.astype(jnp.float32) * jnp.cos(
+            jnp.arange(o.size, dtype=jnp.float32).reshape(o.shape) * 0.01))
+
+    argnums = (0, 1, 2) if bias_on else (0, 1)
+    got = jax.jit(jax.grad(loss, argnums=argnums))(qkv, feats, biases)
+    os.environ["VIVID_DISABLE_PALLAS"] = "1"
+    try:
+        want = jax.jit(jax.grad(lambda *a: loss(*a) * 1.0,
+                                argnums=argnums))(qkv, feats, biases)
+    finally:
+        del os.environ["VIVID_DISABLE_PALLAS"]
+    for g, w in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+        g, w = np.asarray(g, np.float32), np.asarray(w, np.float32)
+        assert np.abs(w).max() > 0, "vacuous gradient leaf"
+        rel = np.linalg.norm(g - w) / np.linalg.norm(w)
+        assert rel < 2e-2, f"rel L2 {rel:.4f}"
+
+
+def test_full_model_grad_chip_parity():
+    """Per-parameter gradients of a scalar loss through the full dual-source
+    model agree on-chip between the packed Pallas train path and the XLA
+    fallback — the whole-model integration of the backward kernels."""
+    import jax
+    import jax.numpy as jnp
+    from vivid_tpu.nn.precond import (PrecondConfig, precond_apply,
+                                      precond_init)
+    cfg = PrecondConfig(img_resolution=64, num_sources=2, model_channels=64,
+                        extra_attn=1, use_bf16=True, remat=False,
+                        epipolar_attention_bias=True)
+    params = _randomize_gains(precond_init(jax.random.PRNGKey(0), cfg))
+    key = jax.random.PRNGKey(1)
+    b = 2
+    src = jax.random.normal(key, (b, 2, 64, 64, 3))
+    dst = jax.random.normal(jax.random.fold_in(key, 1), (b, 64, 64, 3))
+    sigma = jnp.exp(jax.random.normal(jax.random.fold_in(key, 2), (b,)))
+    geo = 0.3 * jax.random.normal(jax.random.fold_in(key, 3), (b, 2, 20))
+    tgt = jax.random.normal(jax.random.fold_in(key, 4), dst.shape)
+
+    def loss(p, mul):
+        out = precond_apply(p, cfg, src, dst, sigma, geo)
+        return jnp.mean((out - tgt) ** 2) * mul
+
+    ga = jax.jit(jax.grad(loss))(params, 1.0)
+    os.environ["VIVID_DISABLE_PALLAS"] = "1"
+    try:
+        gc = jax.jit(jax.grad(loss))(params, 1.0 + 0.0)
+    finally:
+        del os.environ["VIVID_DISABLE_PALLAS"]
+    flat_a = np.concatenate([np.asarray(x, np.float64).ravel()
+                             for x in jax.tree.leaves(ga)])
+    flat_c = np.concatenate([np.asarray(x, np.float64).ravel()
+                             for x in jax.tree.leaves(gc)])
+    assert np.abs(flat_c).max() > 0, "vacuous gradient"
+    rel = np.linalg.norm(flat_a - flat_c) / np.linalg.norm(flat_c)
+    assert rel < 2e-2, f"whole-tree grad rel L2 {rel:.4f}"
+
+
 @pytest.mark.parametrize("uncond,epipolar,cph", [
     (False, False, 64), (True, False, 64), (False, True, 64),
     (False, False, 32),

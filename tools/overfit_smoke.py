@@ -25,9 +25,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/jax_comp_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+from vivid_tpu.core.util import enable_persistent_compilation_cache
+
+enable_persistent_compilation_cache()
 
 
 def psnr(a, b, span=2.0):

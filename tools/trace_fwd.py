@@ -23,9 +23,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/jax_comp_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+from vivid_tpu.core.util import enable_persistent_compilation_cache
+
+enable_persistent_compilation_cache()
 
 
 def hlo_source_map(compiled):

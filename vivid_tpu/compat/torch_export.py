@@ -44,28 +44,40 @@ _REF_STUBS = [
 def _install_stubs():
     """Attribute-tolerant stubs for the reference's unavailable heavy deps
     (kornia/litdata/torchvision/wandb/fvcore — none used by model/encoder/
-    loss construction)."""
+    loss construction). Returns the names actually inserted so the caller
+    can remove them again: leaving e.g. a fake `wandb` in sys.modules would
+    shadow a real later `import wandb` for the rest of the process."""
     from vivid_tpu.compat.torch_pickle import _stub_module
+    inserted = []
     for name in _REF_STUBS:
-        sys.modules.setdefault(name, _stub_module(name))
+        if name not in sys.modules:
+            sys.modules[name] = _stub_module(name)
+            inserted.append(name)
     sys.modules["kornia"].geometry = sys.modules["kornia.geometry"]
     sys.modules["kornia.geometry"].transform = sys.modules["kornia.geometry.transform"]
     sys.modules["kornia.geometry.transform"].resize = lambda *a, **k: None
+    return inserted
 
 
 def import_reference(root: str, module: str = "training.models"):
     """Import a reference module from a checkout at `root`, stubbing its
-    unavailable heavy deps. Returns the imported module."""
+    unavailable heavy deps only for the duration of the import (the imported
+    module keeps its own references to any stubs it bound; sys.modules is
+    restored so unrelated code sees genuine packages). Returns the module."""
     import importlib
     import os
     if not os.path.isdir(os.path.join(root, "training")):
         raise FileNotFoundError(
             f"reference checkout not found at {root!r} (need training/models.py); "
             "pass reference_root= pointing at a danielcodelavin/vivid checkout")
-    _install_stubs()
+    inserted = _install_stubs()
     if root not in sys.path:
         sys.path.insert(0, root)
-    return importlib.import_module(module)
+    try:
+        return importlib.import_module(module)
+    finally:
+        for name in inserted:
+            sys.modules.pop(name, None)
 
 
 # ---------------------------------------------------------------------------

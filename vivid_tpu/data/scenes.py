@@ -59,11 +59,17 @@ class LazyViews:
 
     def __getitem__(self, i):
         if isinstance(i, tuple):  # e.g. scene["image"][v, y, x, c]
-            view = self._view(int(i[0]))
+            view = self[i[0]]
             return view[i[1:]] if len(i) > 1 else view
+        if isinstance(i, slice):
+            return np.stack([self._view(j) for j in range(*i.indices(len(self)))])
         return self._view(int(i))
 
     def _view(self, i: int):
+        if i < 0:
+            i += len(self)
+        if not 0 <= i < len(self):
+            raise IndexError(f"view {i} out of range for {self.shape}")
         if i not in self._cache:
             with np.load(self.path) as z:
                 self._cache[i] = z[f"image_{i:03d}"]

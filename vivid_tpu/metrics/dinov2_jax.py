@@ -85,7 +85,9 @@ def make_feature_fn(params, cfg):
     fn = jax.jit(lambda p, x: vit_forward(p, cfg, preprocess_jax(x))[0])
 
     def features(images_uint8):
-        x = np.asarray(images_uint8, np.float32)
+        # Ship uint8 across the host->device link (1 byte/px, not 4);
+        # preprocess_jax casts to fp32 on-device.
+        x = np.ascontiguousarray(images_uint8)
         return np.asarray(fn(params, x), np.float32)
 
     return features

@@ -33,8 +33,8 @@ def _cubic(x):
 @lru_cache(maxsize=None)
 def bicubic_aa_matrix(in_size: int, out_size: int) -> np.ndarray:
     """[out, in] float32 weight matrix of PIL/torch-aa bicubic resampling
-    along one axis (support 2, a=-0.75, filter scaled by the downscale
-    factor, edge-clamped, per-row normalized)."""
+    along one axis (support 2, a=-0.5 — see _A above, filter scaled by the
+    downscale factor, edge-clamped, per-row normalized)."""
     scale = in_size / out_size
     filterscale = max(scale, 1.0)
     support = 2.0 * filterscale

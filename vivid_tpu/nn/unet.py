@@ -262,7 +262,12 @@ def unet_apply(params, cfg: UNetConfig, x, noise_labels, geometry,
     from vivid_tpu.core.sharding import act_spec_active
 
     def _level0_conv(p, h, gain=1.0):
-        if cfg.wpack_on and h.shape[2] % 2 == 0 and not act_spec_active():
+        # Same channel-width gate as the block-level wpack flag (_block):
+        # with >=128-ch level-0 the lanes are already full and packing is a
+        # pure 2x-MAC slowdown — keep edges and blocks consistent so a
+        # forced wpack=True on a wide model doesn't pack only the edges.
+        if (cfg.wpack_on and cfg.cblock[0] < 128 and h.shape[2] % 2 == 0
+                and not act_spec_active()):
             from vivid_tpu.nn.mp import mp_conv_apply_wpacked
             from vivid_tpu.nn.wpack import wpack, wunpack
             return wunpack(mp_conv_apply_wpacked(p, wpack(h), gain=gain))
