@@ -49,8 +49,14 @@ def test_wpack_model_parity(sr):
 
 def test_wpack_auto_rule():
     from vivid_tpu.nn.unet import UNetConfig, build_plan
+    # Default is OFF everywhere (measured end-to-end loss on the SR forward:
+    # the pack/unpack boundary relayouts cost more than the conv win —
+    # docs/PERF.md round-3); wpack stays an explicit ablation flag.
+    auto = UNetConfig(img_resolution=256, img_channels=3, label_dim=20,
+                      kind="sr", model_channels=64)
+    assert not auto.wpack_on
     cfg = UNetConfig(img_resolution=256, img_channels=3, label_dim=20,
-                     kind="sr", model_channels=64)
+                     kind="sr", model_channels=64, wpack=True)
     assert cfg.wpack_on
     enc, dec = build_plan(cfg)
     lvl0 = [e for e in enc + dec if e.block is not None

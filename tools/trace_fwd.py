@@ -72,6 +72,11 @@ def analyze(path, iters, top=40, srcmap=None):
     for e in ev:
         if e.get("ph") == "X" and e.get("pid") in tpu_pids and "dur" in e:
             name = e.get("name", "?")
+            # Skip the module-level region event ("jit__lambda(...)" etc.):
+            # it spans the whole executable run and double-counts every op
+            # beneath it (newer runtimes emit it; older ones did not).
+            if name.startswith("jit"):
+                continue
             per_op[name] += e["dur"]
             total += e["dur"]
             # Category = opcode-ish prefix of the HLO name.

@@ -32,6 +32,11 @@ def normalize(x, axis=None, eps: float = 1e-4):
     norm = jnp.sqrt(jnp.sum(jnp.square(x32), axis=axis, keepdims=True))
     numel_ratio = math.sqrt(float(norm.size) / float(x.size))
     denom = eps + numel_ratio * norm
+    # Keep the divide in x.dtype. An f32-divide-then-downcast variant wins
+    # 20% on an ISOLATED SR level-0 block (tools/sr_block_lab.py) but is
+    # neutral in the full SR model and a consistent ~3% LOSS on the base
+    # forward (11.8 -> 12.1 ms, interleaved A/B) — XLA's fusion choices
+    # around the extra f32 stream differ per graph. Measured, not worth it.
     return x / denom.astype(x.dtype)
 
 

@@ -60,9 +60,15 @@ class UNetConfig:
     scan_blocks: bool = False             # lax.scan over equal-config block
                                           # runs (smaller HLO, faster compile)
     wpack: Optional[bool] = None          # width-packed level-0 convs
-                                          # (nn/wpack.py); None = auto (on for
-                                          # >=128px images with <128-channel
-                                          # level 0 — the SR serving shape)
+                                          # (nn/wpack.py); None = off. The
+                                          # packed conv wins in isolation
+                                          # (~1.3x at the SR level-0 shape)
+                                          # but the pack/unpack relayouts at
+                                          # region boundaries cross HBM and
+                                          # cost more than the win: SR fwd
+                                          # 54.3 -> 61.9 ms/iter with wpack
+                                          # on (docs/PERF.md round-3). Kept
+                                          # as an explicit ablation flag.
 
     @property
     def cblock(self):
@@ -72,7 +78,7 @@ class UNetConfig:
     def wpack_on(self) -> bool:
         if self.wpack is not None:
             return self.wpack
-        return self.img_resolution >= 128 and self.cblock[0] < 128
+        return False
 
     @property
     def cnoise(self):
