@@ -71,6 +71,9 @@ PACKED_CASES = [
     ((1, 512, 3, 32), 0),
     ((2, 256, 2, 64), 512),
     ((1, 1024, 2, 64), 2048),
+    # SR-uncond shape: H=8 forces the multi-chunk query loop
+    # (pick_q_chunk -> cq=512 < S; the unchunked kernel OOM'd Mosaic).
+    ((1, 1024, 8, 32), 2048),
 ]
 
 
@@ -91,7 +94,12 @@ def test_packed_self_interpret_parity(shape, zs):
                           (1, 512, 256, 3, 32, 1, False),
                           (1, 256, 512, 2, 64, 2, False),
                           (2, 256, 256, 2, 64, 2, True),
-                          (1, 256, 512, 2, 32, 1, True)])
+                          (1, 256, 512, 2, 32, 1, True),
+                          # the SR 32x32 serving shape that OOM'd Mosaic
+                          # unchunked (b>=16 cascade): pick_q_chunk -> 256,
+                          # 4 query chunks per head, with and without bias
+                          (1, 1024, 1024, 8, 32, 2, False),
+                          (1, 1024, 1024, 8, 32, 2, True)])
 def test_packed_xattn_interpret_parity(B, S, Sf, H, D, n, with_bias):
     from vivid_tpu.kernels.flash import flash_fused_packed_xattn
     from vivid_tpu.kernels.attention import _xla_xattn_from_packed

@@ -1,0 +1,65 @@
+"""Quick chip smoke: compile + run the packed Pallas kernels at the shapes
+that matter (hot base shape and the SR H=8 multi-chunk shape that OOM'd
+Mosaic unchunked), asserting parity vs the XLA fallback. ~2 min on chip.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/chip_kernel_smoke.py
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vivid_tpu.core.util import enable_persistent_compilation_cache
+
+enable_persistent_compilation_cache()
+
+
+def rel_err(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return float(np.abs(a - b).max() / (np.abs(b).max() + 1e-12))
+
+
+def main():
+    from vivid_tpu.kernels.flash import (flash_fused_packed,
+                                         flash_fused_packed_xattn)
+    from vivid_tpu.kernels.attention import (_xla_self_attention_from_packed,
+                                             _xla_xattn_from_packed)
+    dev = jax.devices()[0]
+    print("device:", dev)
+    rng = np.random.default_rng(0)
+
+    # (B, S, H, D, zero_sink) self cases: hot base shape + SR 8-head shape.
+    for (B, S, H, D, zs) in [(2, 1024, 2, 64, 0), (1, 1024, 8, 32, 2048)]:
+        x = jnp.asarray(rng.standard_normal((B, S, 3 * H * D)),
+                        jnp.bfloat16)
+        got = jax.jit(lambda x: flash_fused_packed(
+            x, H, zero_sink=zs))(x)
+        want = jax.jit(lambda x: _xla_self_attention_from_packed(
+            x, H, zs, 1e-4))(x)
+        e = rel_err(got, want)
+        print(f"self B={B} S={S} H={H} D={D} zs={zs}: rel_err={e:.2e}")
+        assert e < 3e-2, e
+
+    # xattn cases: base shape with bias + the SR multi-chunk shape.
+    for (B, S, Sf, H, D, n, wb) in [(2, 256, 256, 2, 64, 2, True),
+                                    (1, 1024, 1024, 8, 32, 2, True)]:
+        x = jnp.asarray(rng.standard_normal((B, S, 3 * H * D)), jnp.bfloat16)
+        feats = [jnp.asarray(rng.standard_normal((B, Sf, 2 * H * D)),
+                             jnp.bfloat16) for _ in range(n)]
+        biases = ([jnp.asarray(rng.standard_normal((B, H, S, Sf)) * 0.5,
+                               jnp.float32) for _ in range(n)]
+                  if wb else None)
+        got = jax.jit(lambda x, f, bs: flash_fused_packed_xattn(
+            x, f, H, biases=bs))(x, feats, biases)
+        want = jax.jit(lambda x, f, bs: _xla_xattn_from_packed(
+            x, f, tuple(bs) if bs else (), H, 1e-4))(x, feats, biases)
+        e = rel_err(got, want)
+        print(f"xattn B={B} S={S} Sf={Sf} H={H} D={D} n={n} bias={wb}: "
+              f"rel_err={e:.2e}")
+        assert e < 3e-2, e
+
+    print("SMOKE_OK")
+
+
+if __name__ == "__main__":
+    main()

@@ -216,14 +216,17 @@ def _packed_bwd_fits(s: int, extra_lens, num_heads: int, head_dim: int,
                      itemsize: int, n_bias: int) -> bool:
     """The backward kernels keep ~5 fp32 [S, Sk]-class tiles live per head
     (logits, exp, probabilities, dP, dS) plus doubled IO (grads mirror every
-    input); gate on that bigger working set so out-of-envelope shapes take
+    input). They are NOT query-chunked and Mosaic does not reuse stack
+    buffers across the unrolled head loop (see _packed_vmem_bytes), so the
+    per-head term scales with num_heads; out-of-envelope shapes (e.g. the
+    SR 32x32 xattn block: 8 heads x 5 x 1024 x 3072 fp32 ~ 500 MB) take
     the composite VJP instead of failing at Mosaic compile time."""
     sk = s + sum(extra_lens)
     hd = num_heads * head_dim
     io = 2 * (s * 3 * hd + sum(2 * sf * hd for sf in extra_lens)
               + s * hd) * itemsize
     bias = 2 * num_heads * s * sum(extra_lens[:n_bias] if n_bias else []) * 4
-    return io + bias + 5 * s * sk * 4 <= _PACKED_VMEM_BUDGET
+    return io + bias + num_heads * 5 * s * sk * 4 <= _PACKED_VMEM_BUDGET
 
 
 def _packed_bwd(num_heads, zero_sink, eps, qkv, g):
@@ -308,16 +311,26 @@ _PACKED_VMEM_BUDGET = 88 * 2 ** 20  # kernels request 96 MB; leave headroom
 
 def _packed_vmem_bytes(s: int, extra_lens, num_heads: int, head_dim: int,
                        itemsize: int, n_bias: int) -> int:
-    """Working-set estimate for the whole-row packed kernels: inputs/output
-    rows + per-source fp32 bias slabs (fetched whole per grid step) + the
-    per-head fp32 logit pipeline (logits, exp, and one temp live at once)."""
+    """Working-set estimate for the whole-row packed FORWARD kernels:
+    inputs/output rows + per-source fp32 bias slabs (fetched whole per grid
+    step) + the per-head working set. Mosaic's stack allocator does NOT
+    reuse buffers across the statically-unrolled head loop (an unchunked
+    SR-shape kernel measured 96.74 MB requested vs its own 3-tile estimate
+    of 38 MB), so per-head terms are multiplied by num_heads: the
+    normalized k/v tiles live across the chunk loop, and ~2 fp32
+    [cq, Sk] logit tiles live per head with cq from
+    flash.pick_q_chunk (the kernels' fori_loop chunking DOES get reuse
+    across chunk iterations)."""
+    from vivid_tpu.kernels.flash import pick_q_chunk
     sk = s + sum(extra_lens)
     hd = num_heads * head_dim
     io = s * 3 * hd * itemsize + sum(sf * 2 * hd * itemsize
                                      for sf in extra_lens) + s * hd * itemsize
     bias = num_heads * s * sum(extra_lens[:n_bias] if n_bias else []) * 4
-    logits = 3 * s * sk * 4
-    return io + bias + logits
+    cq = pick_q_chunk(s, sk, num_heads)
+    logits = num_heads * 2 * cq * sk * 4
+    kv = num_heads * 2 * sk * head_dim * itemsize
+    return io + bias + logits + kv
 
 
 def _packed_eligible(s: int, extra_lens=(), num_heads: int = 1,

@@ -116,30 +116,64 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, acc_ref, m_ref, l_ref, *,
         o_ref[0, 0] = (acc / l_fin).astype(o_ref.dtype)
 
 
-def _kernel_packed(x_ref, o_ref, *, H: int, d: int, sm_scale: float,
+def pick_q_chunk(s: int, sk_total: int, num_heads: int,
+                 budget_bytes: int = 56 * 2 ** 20) -> int:
+    """Query-chunk length for the packed whole-row kernels. Mosaic's stack
+    allocator does NOT reuse buffers across the statically-unrolled head
+    loop (measured: the SR 32x32 xattn shape at H=8 requested 96.74 MB and
+    failed to compile), so the fp32 logit working set scales as
+    num_heads * 2 * cq * sk. Pick the largest 64-multiple divisor of `s`
+    that keeps that product under `budget_bytes`; the kernels loop over
+    query chunks with jax.lax.fori_loop (buffers ARE reused across dynamic
+    loop iterations)."""
+    for cq in (2048, 1024, 512, 256, 128, 64):
+        if cq <= s and s % cq == 0 and \
+                num_heads * 2 * cq * sk_total * 4 <= budget_bytes:
+            return cq
+    return 64
+
+
+def _kernel_packed(x_ref, o_ref, *, H: int, d: int, cq: int, sm_scale: float,
                    norm_eps: Optional[float], zero_sink: int):
     """Whole-sequence self-attention on one batch row of the packed conv
     output. x_ref [1, S, 3*H*D] part-major; heads run as a static loop with
     lane slices (the whole per-batch slice is <1 MB — q, k and v are the
-    SAME rows, so there is nothing to tile)."""
+    SAME rows, so there is nothing to tile). Per head, queries run in
+    chunks of `cq` rows under fori_loop so the fp32 logit buffers stay
+    small and are reused across iterations (see pick_q_chunk)."""
     x = x_ref[0]                                            # [S, 3HD]
+    S = x.shape[0]
 
     for h in range(H):
-        q = _rms_norm(x[:, h * d:(h + 1) * d], norm_eps)
         k = _rms_norm(x[:, (H + h) * d:(H + h + 1) * d], norm_eps)
         v = _rms_norm(x[:, (2 * H + h) * d:(2 * H + h + 1) * d], norm_eps)
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * sm_scale
-        m = jnp.max(s, axis=-1, keepdims=True)
-        if zero_sink:
-            m = jnp.maximum(m, 0.0)
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=-1, keepdims=True)
-        if zero_sink:
-            l = l + zero_sink * jnp.exp(-m)
-        out = jax.lax.dot(p.astype(v.dtype), v,
-                          preferred_element_type=jnp.float32) / l
-        o_ref[0, :, h * d:(h + 1) * d] = out.astype(o_ref.dtype)
+
+        def q_chunk(i, _, h=h, k=k, v=v):
+            q0 = i * cq
+            # Chunk loads come from the REF with pl.ds — lax.dynamic_slice
+            # on a materialized value has no Mosaic TPU lowering.
+            q = _rms_norm(x_ref[0, pl.ds(q0, cq), h * d:(h + 1) * d],
+                          norm_eps)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * sm_scale
+            m = jnp.max(s, axis=-1, keepdims=True)
+            if zero_sink:
+                m = jnp.maximum(m, 0.0)
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            if zero_sink:
+                l = l + zero_sink * jnp.exp(-m)
+            out = jax.lax.dot(p.astype(v.dtype), v,
+                              preferred_element_type=jnp.float32) / l
+            o_ref[0, pl.ds(q0, cq), h * d:(h + 1) * d] = out.astype(
+                o_ref.dtype)
+            return ()
+
+        if S // cq == 1:
+            q_chunk(0, ())  # static single chunk — no loop machinery
+        else:
+            jax.lax.fori_loop(0, S // cq, q_chunk, (), unroll=False)
 
 
 def flash_fused_packed(qkv, num_heads: int, *, sm_scale: Optional[float] = None,
@@ -163,6 +197,7 @@ def flash_fused_packed(qkv, num_heads: int, *, sm_scale: Optional[float] = None,
     H = num_heads
 
     kern = functools.partial(_kernel_packed, H=H, d=d,
+                             cq=pick_q_chunk(s, s, H),
                              sm_scale=float(sm_scale), norm_eps=norm_eps,
                              zero_sink=int(zero_sink))
     cost = pl.CostEstimate(
@@ -178,12 +213,12 @@ def flash_fused_packed(qkv, num_heads: int, *, sm_scale: Optional[float] = None,
         out_specs=pl.BlockSpec((1, s, H * d), lambda ib: (ib, 0, 0)),
         out_shape=_out_struct((b, s, H * d), qkv.dtype, qkv),
         cost_estimate=cost,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2 ** 20),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2 ** 20),
         interpret=interpret,
     )(qkv)
 
 
-def _kernel_packed_xattn(x_ref, *rest, H: int, d: int, n_src: int,
+def _kernel_packed_xattn(x_ref, *rest, H: int, d: int, cq: int, n_src: int,
                          n_bias: int, sm_scale: float,
                          norm_eps: Optional[float]):
     """Cross-attention on packed rows: x_ref [1, S, 3HD] (q + self-kv),
@@ -191,34 +226,52 @@ def _kernel_packed_xattn(x_ref, *rest, H: int, d: int, n_src: int,
     (0 or n_src) per-source logit-bias refs [1, H, S, Sf] (the epipolar
     path; the SELF segment carries no bias — blocks.py concatenates a zero
     block there). Joint softmax over the self segment and every cross
-    segment — numerically identical to attention over the concatenated KV."""
+    segment — numerically identical to attention over the concatenated KV.
+    Per head, queries run in chunks of `cq` rows under fori_loop so the
+    fp32 logit buffers stay small and are reused (see pick_q_chunk; the
+    unchunked form OOM'd Mosaic's stack at the SR 32x32 b>=16 shape)."""
     f_refs = rest[:n_src]
     b_refs = rest[n_src:n_src + n_bias]
     o_ref = rest[n_src + n_bias]
     x = x_ref[0]
+    S = x.shape[0]
 
     for h in range(H):
-        q = _rms_norm(x[:, h * d:(h + 1) * d], norm_eps)
         ks = [_rms_norm(x[:, (H + h) * d:(H + h + 1) * d], norm_eps)]
         vs = [_rms_norm(x[:, (2 * H + h) * d:(2 * H + h + 1) * d], norm_eps)]
         for fr in f_refs:
             f = fr[0]
             ks.append(_rms_norm(f[:, h * d:(h + 1) * d], norm_eps))
             vs.append(_rms_norm(f[:, (H + h) * d:(H + h + 1) * d], norm_eps))
-        logits = [jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
-                  * sm_scale for k in ks]
-        for i, br in enumerate(b_refs):
-            logits[1 + i] = logits[1 + i] + br[0, h].astype(jnp.float32)
-        m = logits[0].max(axis=-1, keepdims=True)
-        for s_ in logits[1:]:
-            m = jnp.maximum(m, s_.max(axis=-1, keepdims=True))
-        ps = [jnp.exp(s_ - m) for s_ in logits]
-        l = sum(p.sum(axis=-1, keepdims=True) for p in ps)
-        out = sum(jax.lax.dot(p.astype(v.dtype), v,
-                              preferred_element_type=jnp.float32)
-                  for p, v in zip(ps, vs)) / l
-        o_ref[0, :, h * d:(h + 1) * d] = out.astype(o_ref.dtype)
+
+        def q_chunk(i, _, h=h, ks=ks, vs=vs):
+            q0 = i * cq
+            # Ref load with pl.ds (lax.dynamic_slice on a value does not
+            # lower in Mosaic TPU).
+            q = _rms_norm(x_ref[0, pl.ds(q0, cq), h * d:(h + 1) * d],
+                          norm_eps)
+            logits = [jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                          preferred_element_type=jnp.float32)
+                      * sm_scale for k in ks]
+            for j, br in enumerate(b_refs):
+                logits[1 + j] = logits[1 + j] + br[
+                    0, h, pl.ds(q0, cq)].astype(jnp.float32)
+            m = logits[0].max(axis=-1, keepdims=True)
+            for s_ in logits[1:]:
+                m = jnp.maximum(m, s_.max(axis=-1, keepdims=True))
+            ps = [jnp.exp(s_ - m) for s_ in logits]
+            l = sum(p.sum(axis=-1, keepdims=True) for p in ps)
+            out = sum(jax.lax.dot(p.astype(v.dtype), v,
+                                  preferred_element_type=jnp.float32)
+                      for p, v in zip(ps, vs)) / l
+            o_ref[0, pl.ds(q0, cq), h * d:(h + 1) * d] = out.astype(
+                o_ref.dtype)
+            return ()
+
+        if S // cq == 1:
+            q_chunk(0, ())  # static single chunk — no loop machinery
+        else:
+            jax.lax.fori_loop(0, S // cq, q_chunk, (), unroll=False)
 
 
 def flash_fused_packed_xattn(qkv, feats, num_heads: int, *, biases=None,
@@ -245,6 +298,7 @@ def flash_fused_packed_xattn(qkv, feats, num_heads: int, *, biases=None,
     sk_total = s + sum(f.shape[1] for f in feats)
 
     kern = functools.partial(_kernel_packed_xattn, H=H, d=d,
+                             cq=pick_q_chunk(s, sk_total, H),
                              n_src=len(feats), n_bias=len(biases),
                              sm_scale=float(sm_scale), norm_eps=norm_eps)
     cost = pl.CostEstimate(
