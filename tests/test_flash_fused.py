@@ -147,7 +147,12 @@ def test_packed_backwards_match_autodiff():
 @pytest.mark.parametrize("shape,zs", [((2, 256, 2, 64), 0),
                                       ((1, 512, 3, 32), 0),
                                       ((2, 256, 2, 64), 512),
-                                      ((1, 1024, 2, 64), 2048)])
+                                      ((1, 1024, 2, 64), 2048),
+                                      # H=8 at S=1024: tiles=5 budget forces
+                                      # cq=256 — the multi-chunk (4-iter)
+                                      # fori_loop backward with dk/dv carry
+                                      # accumulation.
+                                      ((1, 1024, 8, 16), 64)])
 def test_packed_bwd_kernel_interpret_parity(shape, zs):
     """The Pallas packed backward kernel (interpret) equals autodiff of the
     XLA composite."""
@@ -169,7 +174,11 @@ def test_packed_bwd_kernel_interpret_parity(shape, zs):
 @pytest.mark.parametrize("B,S,Sf,H,D,n,with_bias",
                          [(2, 256, 256, 2, 64, 2, False),
                           (1, 256, 512, 2, 64, 2, True),
-                          (1, 512, 256, 3, 32, 1, True)])
+                          (1, 512, 256, 3, 32, 1, True),
+                          # H=8, Sk=1536: tiles=5 budget forces cq=128 — the
+                          # multi-chunk backward with per-segment dk/dv
+                          # accumulation AND chunked dbias writes.
+                          (1, 512, 512, 8, 16, 2, True)])
 def test_packed_xattn_bwd_kernel_interpret_parity(B, S, Sf, H, D, n,
                                                   with_bias):
     from vivid_tpu.kernels.flash import flash_fused_packed_xattn_bwd

@@ -37,7 +37,7 @@ def _fwd(cfg, sr):
 
 @pytest.mark.parametrize("sr", [False, True])
 def test_wpack_model_parity(sr):
-    # Small-but-even resolution; wpack forced on (auto only engages >=128px).
+    # Small-but-even resolution; wpack forced on (default is OFF everywhere).
     common = dict(img_resolution=32, num_sources=2, model_channels=16,
                   channel_mult=(1, 2), num_blocks=2, attn_resolutions=(16,),
                   channels_per_head=8, use_bf16=False, remat=False,

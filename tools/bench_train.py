@@ -32,7 +32,10 @@ def main():
                     help="SR config: 256px ch=64 super_res + SRNVLoss "
                     "(reference vivid-sr preset shapes)")
     ap.add_argument("--no-wpack", action="store_true",
-                    help="disable width-packed level-0 convs (ablation)")
+                    help="force width-packed level-0 convs OFF (ablation)")
+    ap.add_argument("--wpack", action="store_true",
+                    help="force width-packed level-0 convs ON (ablation; "
+                    "the default is OFF everywhere)")
     args = ap.parse_args()
 
     from vivid_tpu.diffusion.loss import NVLoss, SRNVLoss
@@ -59,6 +62,8 @@ def main():
         kw.update(model_channels=args.ch)
     if args.no_wpack:
         kw.update(wpack=False)
+    elif args.wpack:
+        kw.update(wpack=True)
     cfg = PrecondConfig(**kw)
     params = precond_init(jax.random.PRNGKey(0), cfg)
     n = sum(int(x.size) for x in jax.tree.leaves(params))

@@ -40,7 +40,12 @@ def main():
         print(f"self B={B} S={S} H={H} D={D} zs={zs}: rel_err={e:.2e}")
         assert e < 3e-2, e
 
-    # xattn cases: base shape with bias + the SR multi-chunk shape.
+    # xattn cases: base shape with bias + the SR multi-chunk shape. NOTE:
+    # the biased H=8 case exercises the raw kernel BEYOND the in-model gate
+    # envelope (_packed_vmem_bytes rejects it: ~67 MB of fp32 bias slabs push
+    # the conservative estimate past the budget, though the kernel itself
+    # compiles and passes here) — in-model, that shape takes the XLA
+    # fallback; this case pins kernel correctness, not the serving dispatch.
     for (B, S, Sf, H, D, n, wb) in [(2, 256, 256, 2, 64, 2, True),
                                     (1, 1024, 1024, 8, 32, 2, True)]:
         x = jnp.asarray(rng.standard_normal((B, S, 3 * H * D)), jnp.bfloat16)

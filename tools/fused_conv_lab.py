@@ -150,14 +150,16 @@ def make_pallas_conv_h(H, W, C, dtype, chunk=16, fuse_silu=True,
     return run
 
 
-def timed(fn, x, n1=4, n2=16):
+def timed(fn, x, w, n1=4, n2=16):
+    # Weights ride as a jit ARGUMENT (never closed over: closed-over weights
+    # become HLO literal constants shipped through the remote-compile tunnel).
     fn = jax.jit(fn)
 
     def chain(iters):
         t0 = time.perf_counter()
         o = x
         for _ in range(iters):
-            o = fn(o)
+            o = fn(o, w)
         _ = np.asarray(o[0, 0, 0, 0])
         return time.perf_counter() - t0
 
@@ -188,11 +190,11 @@ def main():
     wb = w.astype(dtype)
     wp = pack_conv_weight_h(wb)
 
-    def xla_conv(h, fuse=False):
+    def xla_conv(h, w_arg=None, fuse=False):
         if fuse:
             h = _silu(h)
         return jax.lax.conv_general_dilated(
-            h, wb, (1, 1), "SAME",
+            h, wb if w_arg is None else w_arg, (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
     pconv = make_pallas_conv_h(res, res, c, dtype, chunk=args.chunk,
@@ -219,13 +221,13 @@ def main():
 
     flops = 2 * b * res * res * 9 * c * c  # useful (unpacked) FLOPs
 
-    for name, fn in (
-        ("xla", lambda h: xla_conv(h)),
-        ("xla-silu", lambda h: xla_conv(h, fuse=True)),
-        ("hp9", lambda h: pconv(h, wp)),
-        ("hp9-nosilu", lambda h: pconv_ns(h, wp)),
+    for name, fn, warg in (
+        ("xla", lambda h, w_: xla_conv(h, w_), wb),
+        ("xla-silu", lambda h, w_: xla_conv(h, w_, fuse=True), wb),
+        ("hp9", pconv, wp),
+        ("hp9-nosilu", pconv_ns, wp),
     ):
-        dt = timed(fn, x)
+        dt = timed(fn, x, warg)
         print(f"{name:11s}: {dt*1e3:7.3f} ms  {flops/dt/1e12:6.1f} TF/s",
               flush=True)
 

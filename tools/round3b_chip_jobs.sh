@@ -25,8 +25,10 @@ timeout 1800 python tools/trace_fwd.py --what sr --batch 8 --iters 8 --wpack off
 timeout 3600 python tools/bench_serve.py --what cascade --batch 8 \
     > "$LOG/cascade_b8.log" 2>&1
 
-# 4. SR train step, wpack on vs off.
-timeout 3600 python tools/bench_train.py --sr --batch 32 \
+# 4. SR train step, wpack on vs off. (--wpack is required for the on-side:
+# after eb48c97 the default is OFF everywhere, so the bare invocation this
+# script originally used would have measured an A/A.)
+timeout 3600 python tools/bench_train.py --sr --batch 32 --wpack \
     > "$LOG/train_sr_wpack.log" 2>&1
 timeout 3600 python tools/bench_train.py --sr --batch 32 --no-wpack \
     > "$LOG/train_sr_nowpack.log" 2>&1

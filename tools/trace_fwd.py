@@ -82,7 +82,7 @@ def analyze(path, iters, top=40, srcmap=None):
             # Category = opcode-ish prefix of the HLO name.
             cat = re.split(r"[.\d]", name, 1)[0]
             per_cat[cat] += e["dur"]
-            if srcmap and not name.startswith("jit"):
+            if srcmap:
                 _, src = srcmap.get(name, ("", "?"))
                 per_src[src or "?"] += e["dur"]
     print(f"\nTPU device time: {total / 1e3 / iters:.3f} ms/iter "
@@ -115,6 +115,11 @@ def main():
                     help="analyze an existing trace.json.gz instead")
     ap.add_argument("--wpack", default=None, choices=("on", "off"),
                     help="override the width-packed level-0 conv auto rule")
+    ap.add_argument("--flagship", action="store_true",
+                    help="ch=128 with the production label dims")
+    ap.add_argument("--remat", default=None,
+                    choices=("true", "false", "save_dots"),
+                    help="remat mode for --what train (default: true)")
     args = ap.parse_args()
     if args.trace:
         analyze(args.trace, args.iters)
@@ -129,9 +134,13 @@ def main():
         from vivid_tpu.diffusion.phema import std_to_exp
         from vivid_tpu.train.step import (TrainConfig, init_train_state,
                                           make_train_step)
-        cfg = PrecondConfig(img_resolution=64, num_sources=2,
-                            model_channels=args.ch, extra_attn=1,
-                            use_bf16=True, remat=True, **wp)
+        remat = {None: True, "true": True, "false": False,
+                 "save_dots": "save_dots"}[args.remat]
+        mk = (dict(model_channels=128, source_label_dim=20,
+                   target_label_dim=40) if args.flagship
+              else dict(model_channels=args.ch))
+        cfg = PrecondConfig(img_resolution=64, num_sources=2, extra_attn=1,
+                            use_bf16=True, remat=remat, **mk, **wp)
         params = precond_init(jax.random.PRNGKey(0), cfg)
         tcfg = TrainConfig(batch_size=b, ref_lr=1e-3, rampup_Mimg=0,
                            nimg_mult=6)

@@ -65,6 +65,50 @@ def _interpret() -> bool:
     return bool(os.environ.get("VIVID_PALLAS_INTERPRET"))
 
 
+def _run_flash_interpret(q, k, v, bias):
+    from vivid_tpu.kernels.flash import flash_fused
+    return flash_fused(q, k, v, bias, norm_eps=None,
+                       block_q=_largest_block(q.shape[2], 512),
+                       block_k=_largest_block(k.shape[2], 1024),
+                       interpret=True)
+
+
+@jax.custom_vjp
+def _flash_interpret(q, k, v):
+    return _run_flash_interpret(q, k, v, None)
+
+
+def _flash_interpret_fwd(q, k, v):
+    return _flash_interpret(q, k, v), (q, k, v)
+
+
+def _flash_interpret_bwd(res, g):
+    q, k, v = res
+    return jax.vjp(lambda q_, k_, v_: reference_attention(q_, k_, v_),
+                   q, k, v)[1](g)
+
+
+_flash_interpret.defvjp(_flash_interpret_fwd, _flash_interpret_bwd)
+
+
+@jax.custom_vjp
+def _flash_interpret_biased(q, k, v, bias):
+    return _run_flash_interpret(q, k, v, bias)
+
+
+def _flash_interpret_biased_fwd(q, k, v, bias):
+    return _flash_interpret_biased(q, k, v, bias), (q, k, v, bias)
+
+
+def _flash_interpret_biased_bwd(res, g):
+    q, k, v, bias = res
+    return jax.vjp(reference_attention, q, k, v, bias)[1](g)
+
+
+_flash_interpret_biased.defvjp(_flash_interpret_biased_fwd,
+                               _flash_interpret_biased_bwd)
+
+
 def _use_pallas(q, k) -> bool:
     import os
     if os.environ.get("VIVID_DISABLE_PALLAS"):
@@ -214,19 +258,25 @@ def _packed_fwd(qkv, num_heads, zero_sink, eps):
 
 def _packed_bwd_fits(s: int, extra_lens, num_heads: int, head_dim: int,
                      itemsize: int, n_bias: int) -> bool:
-    """The backward kernels keep ~5 fp32 [S, Sk]-class tiles live per head
-    (logits, exp, probabilities, dP, dS) plus doubled IO (grads mirror every
-    input). They are NOT query-chunked and Mosaic does not reuse stack
-    buffers across the unrolled head loop (see _packed_vmem_bytes), so the
-    per-head term scales with num_heads; out-of-envelope shapes (e.g. the
-    SR 32x32 xattn block: 8 heads x 5 x 1024 x 3072 fp32 ~ 500 MB) take
-    the composite VJP instead of failing at Mosaic compile time."""
+    """Working-set estimate for the query-chunked packed BACKWARD kernels
+    (mirrors _packed_vmem_bytes, with the backward's bigger per-chunk live
+    set): doubled IO (grads mirror every input and bias), ~5 fp32 [cq, Sk]
+    tiles per head (logits, p, p~, dP~, dS — flash.pick_q_chunk with
+    tiles=5 sizes cq against the same budget), the per-head normalized k/v
+    segment tiles, and the fp32 dk/dv fori_loop accumulators. Shapes still
+    out of envelope (very long cross sources, big fp32 bias slabs) take the
+    composite VJP instead of failing at Mosaic compile time."""
+    from vivid_tpu.kernels.flash import pick_q_chunk
     sk = s + sum(extra_lens)
     hd = num_heads * head_dim
     io = 2 * (s * 3 * hd + sum(2 * sf * hd for sf in extra_lens)
               + s * hd) * itemsize
     bias = 2 * num_heads * s * sum(extra_lens[:n_bias] if n_bias else []) * 4
-    return io + bias + num_heads * 5 * s * sk * 4 <= _PACKED_VMEM_BUDGET
+    cq = pick_q_chunk(s, sk, num_heads, tiles=5)
+    tiles = num_heads * 5 * cq * sk * 4
+    kv = num_heads * 2 * sk * head_dim * itemsize
+    acc = num_heads * 2 * sk * head_dim * 4
+    return io + bias + tiles + kv + acc <= _PACKED_VMEM_BUDGET
 
 
 def _packed_bwd(num_heads, zero_sink, eps, qkv, g):
@@ -393,11 +443,12 @@ def _attention_local(q, k, v, bias: Optional[jax.Array] = None):
         # The stock flash kernel has no interpret mode; run the from-scratch
         # kernel (norm_eps=None: inputs here are already normalized) so the
         # multi-shard tests execute a real Pallas call on this path too.
-        from vivid_tpu.kernels.flash import flash_fused
-        return flash_fused(q, k, v, bias, norm_eps=None,
-                           block_q=_largest_block(q.shape[2], 512),
-                           block_k=_largest_block(k.shape[2], 1024),
-                           interpret=True)
+        # Wrapped in a custom_vjp (backward = einsum composite) to mirror the
+        # stock kernel's differentiability — interpret-mode gradient tests
+        # reach this via the packed kernels' composite-VJP fallbacks.
+        if bias is None:
+            return _flash_interpret(q, k, v)
+        return _flash_interpret_biased(q, k, v, bias)
     flash_attention, BlockSizes = _flash()
     b, h, sq, d = q.shape
     sk = k.shape[2]

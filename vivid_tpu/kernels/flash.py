@@ -116,21 +116,29 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, acc_ref, m_ref, l_ref, *,
         o_ref[0, 0] = (acc / l_fin).astype(o_ref.dtype)
 
 
-def pick_q_chunk(s: int, sk_total: int, num_heads: int,
+def pick_q_chunk(s: int, sk_total: int, num_heads: int, tiles: int = 2,
                  budget_bytes: int = 56 * 2 ** 20) -> int:
     """Query-chunk length for the packed whole-row kernels. Mosaic's stack
     allocator does NOT reuse buffers across the statically-unrolled head
     loop (measured: the SR 32x32 xattn shape at H=8 requested 96.74 MB and
     failed to compile), so the fp32 logit working set scales as
-    num_heads * 2 * cq * sk. Pick the largest 64-multiple divisor of `s`
-    that keeps that product under `budget_bytes`; the kernels loop over
-    query chunks with jax.lax.fori_loop (buffers ARE reused across dynamic
-    loop iterations)."""
+    num_heads * tiles * cq * sk (`tiles` = live fp32 [cq, Sk] buffers per
+    head: 2 for the forward, ~5 for the backward's logits/p/p~/dP~/dS).
+    Pick the largest 64-multiple divisor of `s` that keeps that product
+    under `budget_bytes`; the kernels loop over query chunks with
+    jax.lax.fori_loop (buffers ARE reused across dynamic loop iterations).
+
+    The result always divides `s` exactly — for tiny or oddly-sized S
+    (direct/test callers; the model gate requires s % 64 == 0) the largest
+    divisor <= 64 is used so the chunk loop covers every row."""
     for cq in (2048, 1024, 512, 256, 128, 64):
         if cq <= s and s % cq == 0 and \
-                num_heads * 2 * cq * sk_total * 4 <= budget_bytes:
+                num_heads * tiles * cq * sk_total * 4 <= budget_bytes:
             return cq
-    return 64
+    for cq in range(min(s, 64), 0, -1):
+        if s % cq == 0:
+            return cq
+    return s
 
 
 def _kernel_packed(x_ref, o_ref, *, H: int, d: int, cq: int, sm_scale: float,
@@ -196,8 +204,9 @@ def flash_fused_packed(qkv, num_heads: int, *, sm_scale: Optional[float] = None,
         sm_scale = 1.0 / (d ** 0.5)
     H = num_heads
 
-    kern = functools.partial(_kernel_packed, H=H, d=d,
-                             cq=pick_q_chunk(s, s, H),
+    cq = pick_q_chunk(s, s, H)
+    assert s % cq == 0, (s, cq)
+    kern = functools.partial(_kernel_packed, H=H, d=d, cq=cq,
                              sm_scale=float(sm_scale), norm_eps=norm_eps,
                              zero_sink=int(zero_sink))
     cost = pl.CostEstimate(
@@ -297,8 +306,9 @@ def flash_fused_packed_xattn(qkv, feats, num_heads: int, *, biases=None,
         sm_scale = 1.0 / (d ** 0.5)
     sk_total = s + sum(f.shape[1] for f in feats)
 
-    kern = functools.partial(_kernel_packed_xattn, H=H, d=d,
-                             cq=pick_q_chunk(s, sk_total, H),
+    cq = pick_q_chunk(s, sk_total, H)
+    assert s % cq == 0, (s, cq)
+    kern = functools.partial(_kernel_packed_xattn, H=H, d=d, cq=cq,
                              n_src=len(feats), n_bias=len(biases),
                              sm_scale=float(sm_scale), norm_eps=norm_eps)
     cost = pl.CostEstimate(
@@ -358,78 +368,125 @@ def _norm_bwd(x_raw, dy, norm_eps: Optional[float]):
     return dy / denom - correction
 
 
-def _head_attn_bwd(q_raw, k_raws, v_raws, dO, biases32, *, sm_scale: float,
-                   norm_eps: Optional[float], zero_sink: int, dtype):
-    """Shared per-head backward over one or more KV segments. q_raw [S, D];
-    k_raws/v_raws: per-segment raw tiles [Sk_i, D]; dO [S, D] fp32;
-    biases32: per-segment fp32 logit bias or None. Returns
-    (dq_raw, [dk_raw_i], [dv_raw_i], [dbias_i or None]) with grads for raw
-    (pre-norm) inputs; dbias only for segments that carried a bias."""
-    qh = _rms_norm(q_raw, norm_eps)
-    khs = [_rms_norm(kr, norm_eps) for kr in k_raws]
-    vhs = [_rms_norm(vr, norm_eps) for vr in v_raws]
-    logits = []
-    for kh, b32 in zip(khs, biases32):
-        s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * sm_scale
-        if b32 is not None:
-            s = s + b32
-        logits.append(s)
-    m = logits[0].max(axis=-1, keepdims=True)
-    for s in logits[1:]:
-        m = jnp.maximum(m, s.max(axis=-1, keepdims=True))
-    if zero_sink:
-        m = jnp.maximum(m, 0.0)
-    ps = [jnp.exp(s - m) for s in logits]
-    l = sum(p.sum(axis=-1, keepdims=True) for p in ps)
-    if zero_sink:
-        l = l + zero_sink * jnp.exp(-m)
-    pts = [p / l for p in ps]                                # fp32 [S, Sk_i]
-    dO16 = dO.astype(dtype)
-    dpts = [jax.lax.dot_general(dO16, vh.astype(dtype),
-                                (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-            for vh in vhs]
-    rho = sum(jnp.sum(pt * dpt, axis=-1, keepdims=True)
-              for pt, dpt in zip(pts, dpts))
-    dss = [pt * (dpt - rho) for pt, dpt in zip(pts, dpts)]
-    dq_hat = sum(
-        jax.lax.dot(ds.astype(dtype), kh.astype(dtype),
-                    preferred_element_type=jnp.float32)
-        for ds, kh in zip(dss, khs)) * sm_scale
-    dk_hats = [jax.lax.dot_general(ds.astype(dtype), qh.astype(dtype),
-                                   (((0,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-               * sm_scale for ds in dss]
-    dv_hats = [jax.lax.dot_general(pt.astype(dtype), dO16,
-                                   (((0,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-               for pt in pts]
-    dq = _norm_bwd(q_raw, dq_hat, norm_eps)
-    dks = [_norm_bwd(kr, dkh, norm_eps) for kr, dkh in zip(k_raws, dk_hats)]
-    dvs = [_norm_bwd(vr, dvh, norm_eps) for vr, dvh in zip(v_raws, dv_hats)]
-    dbs = [ds if b32 is not None else None
-           for ds, b32 in zip(dss, biases32)]
-    return dq, dks, dvs, dbs
+def _kernel_packed_bwd_common(x_ref, f_refs, b_refs, g_ref, dx_ref, df_refs,
+                              db_refs, *, H: int, d: int, cq: int,
+                              sm_scale: float, norm_eps: Optional[float],
+                              zero_sink: int):
+    """Query-chunked backward shared by self- and cross-attention.
+
+    Per head: normalize the k/v segments once (whole rows — [Sk_i, D] tiles
+    are small), then loop over `cq`-row query chunks under fori_loop,
+    recomputing that chunk's softmax state (deterministic, same math as the
+    forward kernel) and applying the standard attention VJP
+        dv' = P~^T dO,  dP~ = dO v'^T,  dS = P~ o (dP~ - rowsum(P~ o dP~)),
+        dq' = dS k' * c,  dk' = dS^T q' * c
+    (P~ includes the zero-sink mass; sink columns carry v=0 so their dP~
+    vanishes and the formulas are unchanged). dq and dbias chunks are
+    written directly; dk/dv accumulate across chunks in fp32 fori_loop
+    carries ([Sk_i, D] — a few hundred KB), with the RMS-norm VJP
+        dx = dy/(eps+r) - x * <x, dy> / (D r (eps+r)^2),   r = ||x||/sqrt(D)
+    applied once per tensor at the end, everything written straight back in
+    the packed layout. Chunking keeps the fp32 [cq, Sk] working set (5 live
+    tiles per head) inside Mosaic's stack budget at every production shape —
+    the whole-row form OOM'd at the SR 32x32 H=8 training shape."""
+    S = x_ref.shape[1]
+
+    for h in range(H):
+        k_raws = [x_ref[0, :, (H + h) * d:(H + h + 1) * d]]
+        v_raws = [x_ref[0, :, (2 * H + h) * d:(2 * H + h + 1) * d]]
+        for fr in f_refs:
+            k_raws.append(fr[0, :, h * d:(h + 1) * d])
+            v_raws.append(fr[0, :, (H + h) * d:(H + h + 1) * d])
+        khs = [_rms_norm(kr, norm_eps) for kr in k_raws]
+        vhs = [_rms_norm(vr, norm_eps) for vr in v_raws]
+        dt = khs[0].dtype
+
+        def q_chunk(i, carry, h=h, khs=khs, vhs=vhs):
+            dk_hats, dv_hats = carry
+            q0 = i * cq
+            # Chunk loads come from the REF with pl.ds — lax.dynamic_slice
+            # on a materialized value has no Mosaic TPU lowering.
+            q_raw = x_ref[0, pl.ds(q0, cq), h * d:(h + 1) * d]
+            qh = _rms_norm(q_raw, norm_eps)
+            dO = g_ref[0, pl.ds(q0, cq), h * d:(h + 1) * d].astype(
+                jnp.float32)
+            logits = []
+            for j, kh in enumerate(khs):
+                s_ = jax.lax.dot_general(
+                    qh, kh, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * sm_scale
+                if 1 <= j <= len(b_refs):  # cross segment j-1 carries a bias
+                    s_ = s_ + b_refs[j - 1][0, h, pl.ds(q0, cq)].astype(
+                        jnp.float32)
+                logits.append(s_)
+            m = logits[0].max(axis=-1, keepdims=True)
+            for s_ in logits[1:]:
+                m = jnp.maximum(m, s_.max(axis=-1, keepdims=True))
+            if zero_sink:
+                m = jnp.maximum(m, 0.0)
+            ps = [jnp.exp(s_ - m) for s_ in logits]
+            l = sum(p.sum(axis=-1, keepdims=True) for p in ps)
+            if zero_sink:
+                l = l + zero_sink * jnp.exp(-m)
+            pts = [p / l for p in ps]                    # fp32 [cq, Sk_i]
+            dO16 = dO.astype(dt)
+            dpts = [jax.lax.dot_general(dO16, vh, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                    for vh in vhs]
+            rho = sum(jnp.sum(pt * dpt, axis=-1, keepdims=True)
+                      for pt, dpt in zip(pts, dpts))
+            dss = [pt * (dpt - rho) for pt, dpt in zip(pts, dpts)]
+            dq_hat = sum(
+                jax.lax.dot(ds.astype(dt), kh,
+                            preferred_element_type=jnp.float32)
+                for ds, kh in zip(dss, khs)) * sm_scale
+            dq = _norm_bwd(q_raw, dq_hat, norm_eps)
+            dx_ref[0, pl.ds(q0, cq), h * d:(h + 1) * d] = dq.astype(
+                dx_ref.dtype)
+            for jb, dbr in enumerate(db_refs):
+                dbr[0, h, pl.ds(q0, cq)] = dss[1 + jb].astype(dbr.dtype)
+            dk_hats = tuple(
+                dkh + jax.lax.dot_general(ds.astype(dt), qh,
+                                          (((0,), (0,)), ((), ())),
+                                          preferred_element_type=jnp.float32)
+                * sm_scale for dkh, ds in zip(dk_hats, dss))
+            dv_hats = tuple(
+                dvh + jax.lax.dot_general(pt.astype(dt), dO16,
+                                          (((0,), (0,)), ((), ())),
+                                          preferred_element_type=jnp.float32)
+                for dvh, pt in zip(dv_hats, pts))
+            return dk_hats, dv_hats
+
+        init = (tuple(jnp.zeros((kr.shape[0], d), jnp.float32)
+                      for kr in k_raws),
+                tuple(jnp.zeros((vr.shape[0], d), jnp.float32)
+                      for vr in v_raws))
+        if S // cq == 1:
+            dk_hats, dv_hats = q_chunk(0, init)  # static single chunk
+        else:
+            dk_hats, dv_hats = jax.lax.fori_loop(0, S // cq, q_chunk, init,
+                                                 unroll=False)
+
+        dks = [_norm_bwd(kr, dkh, norm_eps)
+               for kr, dkh in zip(k_raws, dk_hats)]
+        dvs = [_norm_bwd(vr, dvh, norm_eps)
+               for vr, dvh in zip(v_raws, dv_hats)]
+        dx_ref[0, :, (H + h) * d:(H + h + 1) * d] = dks[0].astype(
+            dx_ref.dtype)
+        dx_ref[0, :, (2 * H + h) * d:(2 * H + h + 1) * d] = dvs[0].astype(
+            dx_ref.dtype)
+        for i, dfr in enumerate(df_refs):
+            dfr[0, :, h * d:(h + 1) * d] = dks[1 + i].astype(dfr.dtype)
+            dfr[0, :, (H + h) * d:(H + h + 1) * d] = \
+                dvs[1 + i].astype(dfr.dtype)
 
 
-def _kernel_packed_bwd(x_ref, g_ref, dx_ref, *, H: int, d: int,
+def _kernel_packed_bwd(x_ref, g_ref, dx_ref, *, H: int, d: int, cq: int,
                        sm_scale: float, norm_eps: Optional[float],
                        zero_sink: int):
-    x = x_ref[0]                                             # [S, 3HD]
-    g = g_ref[0]                                             # [S, HD]
-    for h in range(H):
-        q_raw = x[:, h * d:(h + 1) * d]
-        k_raw = x[:, (H + h) * d:(H + h + 1) * d]
-        v_raw = x[:, (2 * H + h) * d:(2 * H + h + 1) * d]
-        dO = g[:, h * d:(h + 1) * d].astype(jnp.float32)
-        dq, (dk,), (dv,), _ = _head_attn_bwd(
-            q_raw, [k_raw], [v_raw], dO, [None], sm_scale=sm_scale,
-            norm_eps=norm_eps, zero_sink=zero_sink, dtype=x.dtype)
-        dx_ref[0, :, h * d:(h + 1) * d] = dq.astype(dx_ref.dtype)
-        dx_ref[0, :, (H + h) * d:(H + h + 1) * d] = dk.astype(dx_ref.dtype)
-        dx_ref[0, :, (2 * H + h) * d:(2 * H + h + 1) * d] = \
-            dv.astype(dx_ref.dtype)
+    _kernel_packed_bwd_common(x_ref, (), (), g_ref, dx_ref, (), (),
+                              H=H, d=d, cq=cq, sm_scale=sm_scale,
+                              norm_eps=norm_eps, zero_sink=zero_sink)
 
 
 def flash_fused_packed_bwd(qkv, g, num_heads: int, *,
@@ -443,7 +500,9 @@ def flash_fused_packed_bwd(qkv, g, num_heads: int, *,
     if sm_scale is None:
         sm_scale = 1.0 / (d ** 0.5)
     H = num_heads
-    kern = functools.partial(_kernel_packed_bwd, H=H, d=d,
+    cq = pick_q_chunk(s, s, H, tiles=5)
+    assert s % cq == 0, (s, cq)
+    kern = functools.partial(_kernel_packed_bwd, H=H, d=d, cq=cq,
                              sm_scale=float(sm_scale), norm_eps=norm_eps,
                              zero_sink=int(zero_sink))
     cost = pl.CostEstimate(
@@ -465,8 +524,8 @@ def flash_fused_packed_bwd(qkv, g, num_heads: int, *,
     )(qkv, g)
 
 
-def _kernel_packed_xattn_bwd(x_ref, *rest, H: int, d: int, n_src: int,
-                             n_bias: int, sm_scale: float,
+def _kernel_packed_xattn_bwd(x_ref, *rest, H: int, d: int, cq: int,
+                             n_src: int, n_bias: int, sm_scale: float,
                              norm_eps: Optional[float]):
     f_refs = rest[:n_src]
     b_refs = rest[n_src:n_src + n_bias]
@@ -474,34 +533,12 @@ def _kernel_packed_xattn_bwd(x_ref, *rest, H: int, d: int, n_src: int,
     dx_ref = rest[n_src + n_bias + 1]
     df_refs = rest[n_src + n_bias + 2:n_src + n_bias + 2 + n_src]
     db_refs = rest[n_src + n_bias + 2 + n_src:]
-    x = x_ref[0]
-    g = g_ref[0]
-    for h in range(H):
-        q_raw = x[:, h * d:(h + 1) * d]
-        k_raws = [x[:, (H + h) * d:(H + h + 1) * d]]
-        v_raws = [x[:, (2 * H + h) * d:(2 * H + h + 1) * d]]
-        for fr in f_refs:
-            f = fr[0]
-            k_raws.append(f[:, h * d:(h + 1) * d])
-            v_raws.append(f[:, (H + h) * d:(H + h + 1) * d])
-        biases32 = [None]
-        for i in range(n_src):
-            biases32.append(b_refs[i][0, h].astype(jnp.float32)
-                            if i < n_bias else None)
-        dO = g[:, h * d:(h + 1) * d].astype(jnp.float32)
-        dq, dks, dvs, dbs = _head_attn_bwd(
-            q_raw, k_raws, v_raws, dO, biases32, sm_scale=sm_scale,
-            norm_eps=norm_eps, zero_sink=0, dtype=x.dtype)
-        dx_ref[0, :, h * d:(h + 1) * d] = dq.astype(dx_ref.dtype)
-        dx_ref[0, :, (H + h) * d:(H + h + 1) * d] = dks[0].astype(dx_ref.dtype)
-        dx_ref[0, :, (2 * H + h) * d:(2 * H + h + 1) * d] = \
-            dvs[0].astype(dx_ref.dtype)
-        for i, dfr in enumerate(df_refs):
-            dfr[0, :, h * d:(h + 1) * d] = dks[1 + i].astype(dfr.dtype)
-            dfr[0, :, (H + h) * d:(H + h + 1) * d] = \
-                dvs[1 + i].astype(dfr.dtype)
-        for i, dbr in enumerate(db_refs):
-            dbr[0, h] = dbs[1 + i].astype(dbr.dtype)
+    # n_bias is 0 or n_src: every biased segment precedes the unbiased ones
+    # in the packed layout, matching _kernel_packed_bwd_common's j<=n_bias
+    # bias application rule.
+    _kernel_packed_bwd_common(x_ref, f_refs, b_refs, g_ref, dx_ref, df_refs,
+                              db_refs, H=H, d=d, cq=cq, sm_scale=sm_scale,
+                              norm_eps=norm_eps, zero_sink=0)
 
 
 def flash_fused_packed_xattn_bwd(qkv, feats, g, num_heads: int, *,
@@ -518,7 +555,9 @@ def flash_fused_packed_xattn_bwd(qkv, feats, g, num_heads: int, *,
         sm_scale = 1.0 / (d ** 0.5)
     biases = tuple(biases) if biases else ()
     sk_total = s + sum(f.shape[1] for f in feats)
-    kern = functools.partial(_kernel_packed_xattn_bwd, H=H, d=d,
+    cq = pick_q_chunk(s, sk_total, H, tiles=5)
+    assert s % cq == 0, (s, cq)
+    kern = functools.partial(_kernel_packed_xattn_bwd, H=H, d=d, cq=cq,
                              n_src=len(feats), n_bias=len(biases),
                              sm_scale=float(sm_scale), norm_eps=norm_eps)
     cost = pl.CostEstimate(

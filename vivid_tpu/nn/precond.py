@@ -59,7 +59,8 @@ class PrecondConfig:
     scan_blocks: bool = False             # lax.scan over equal-config block runs
     force_wn: bool = False                # forced weight normalization (Eq. 66)
     wpack: Optional[bool] = None          # width-packed level-0 convs (nn/wpack.py);
-                                          # None = auto (UNetConfig.wpack_on)
+                                          # None = OFF (chip-measured net loss
+                                          # in-model; explicit True = ablation)
 
     def _unet_common(self):
         return dict(
