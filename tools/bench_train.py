@@ -56,8 +56,12 @@ def main():
     if args.flagship:
         kw.update(model_channels=128, source_label_dim=20, target_label_dim=40)
     elif args.sr:
+        # The size-documented SR model (experiments/log.txt:720-792, 57.55M):
+        # extra_attn=1 (attention at S=16384/4096/1024), single-source,
+        # labels 20/20. See tools/bench_serve.sr_config for the archaeology.
         kw.update(img_resolution=256, model_channels=64, super_res=True,
-                  extra_attn=0)
+                  extra_attn=1, num_sources=1, source_label_dim=20,
+                  target_label_dim=20)
     else:
         kw.update(model_channels=args.ch)
     if args.no_wpack:
@@ -76,9 +80,10 @@ def main():
     state = init_train_state(params, tcfg)
     key = jax.random.PRNGKey(1)
     res = cfg.img_resolution
-    batch = {"src": jax.random.normal(key, (b, 2, res, res, 3)),
+    ns = cfg.num_sources
+    batch = {"src": jax.random.normal(key, (b, ns, res, res, 3)),
              "tgt": jax.random.normal(jax.random.fold_in(key, 1), (b, res, res, 3)),
-             "geometry": jax.random.normal(jax.random.fold_in(key, 2), (b, 2, 20))}
+             "geometry": jax.random.normal(jax.random.fold_in(key, 2), (b, ns, 20))}
 
     t0 = time.perf_counter()
     state, st = step(state, batch, jax.random.PRNGKey(2))

@@ -159,16 +159,20 @@ def main():
         path = capture(step, fn_args, iters=args.iters)
     elif args.what == "sr":
         # The production SR serving forward (generate_images.py:310-327):
-        # 256px super-res model, ch=64, conditioning image.
+        # 256px super-res model, ch=64, conditioning image. Architecture =
+        # the size-documented log-parity SR (bench_serve.sr_config "log"):
+        # extra_attn=1, single-source, labels 20/20.
         res = 256
-        cfg = PrecondConfig(img_resolution=res, num_sources=2,
+        cfg = PrecondConfig(img_resolution=res, num_sources=1,
                             model_channels=args.ch, super_res=True,
+                            extra_attn=1, source_label_dim=20,
+                            target_label_dim=20,
                             use_bf16=True, remat=False, **wp)
         params = precond_init(jax.random.PRNGKey(0), cfg)
-        src = jax.random.normal(key, (b, 2, res, res, 3))
+        src = jax.random.normal(key, (b, 1, res, res, 3))
         dst = jax.random.normal(jax.random.fold_in(key, 1), (b, res, res, 3))
         sigma = jnp.exp(jax.random.normal(jax.random.fold_in(key, 2), (b,)))
-        geometry = jax.random.normal(jax.random.fold_in(key, 3), (b, 2, 20))
+        geometry = jax.random.normal(jax.random.fold_in(key, 3), (b, 1, 20))
         cond = jax.random.normal(jax.random.fold_in(key, 4), (b, res, res, 3))
         fwd = jax.jit(lambda p, s, d, sg, g, c, k: precond_apply(
             p, cfg, s, d, sg, g, conditioning_image=c, rng=k))

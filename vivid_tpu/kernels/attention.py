@@ -258,22 +258,20 @@ def _packed_fwd(qkv, num_heads, zero_sink, eps):
 
 def _packed_bwd_fits(s: int, extra_lens, num_heads: int, head_dim: int,
                      itemsize: int, n_bias: int) -> bool:
-    """Working-set estimate for the query-chunked packed BACKWARD kernels
-    (mirrors _packed_vmem_bytes, with the backward's bigger per-chunk live
-    set): doubled IO (grads mirror every input and bias), ~5 fp32 [cq, Sk]
-    tiles per head (logits, p, p~, dP~, dS — flash.pick_q_chunk with
-    tiles=5 sizes cq against the same budget), the per-head normalized k/v
-    segment tiles, and the fp32 dk/dv fori_loop accumulators. Shapes still
-    out of envelope (very long cross sources, big fp32 bias slabs) take the
-    composite VJP instead of failing at Mosaic compile time."""
-    from vivid_tpu.kernels.flash import pick_q_chunk
+    """Working-set estimate for the packed BACKWARD kernels: doubled IO
+    (grads mirror every input and bias), the live [*, Sk] fp32 tile bytes
+    from flash.pick_q_chunk_bwd (whole-row inside the chip-proven envelope,
+    per-head chunked beyond it), the per-head normalized k/v segment tiles,
+    and the fp32 dk/dv accumulators. Shapes still out of envelope (very
+    long cross sources, big fp32 bias slabs) take the composite VJP instead
+    of failing at Mosaic compile time."""
+    from vivid_tpu.kernels.flash import pick_q_chunk_bwd
     sk = s + sum(extra_lens)
     hd = num_heads * head_dim
     io = 2 * (s * 3 * hd + sum(2 * sf * hd for sf in extra_lens)
               + s * hd) * itemsize
     bias = 2 * num_heads * s * sum(extra_lens[:n_bias] if n_bias else []) * 4
-    cq = pick_q_chunk(s, sk, num_heads, tiles=5)
-    tiles = num_heads * 5 * cq * sk * 4
+    _, tiles = pick_q_chunk_bwd(s, sk, num_heads)
     kv = num_heads * 2 * sk * head_dim * itemsize
     acc = num_heads * 2 * sk * head_dim * 4
     return io + bias + tiles + kv + acc <= _PACKED_VMEM_BUDGET

@@ -141,6 +141,25 @@ def pick_q_chunk(s: int, sk_total: int, num_heads: int, tiles: int = 2,
     return s
 
 
+def pick_q_chunk_bwd(s: int, sk_total: int, num_heads: int):
+    """(cq, live-tile byte estimate) for the packed BACKWARD kernels.
+
+    Whole-row backward is chip-PROVEN across the H<=6 production envelope:
+    ch=64 H=2 and flagship H=4 train steps at Sk=3S (5 x [1024, 3072] fp32
+    tiles = 63 MB) and the H=4/H=6 grad-parity tests all compiled and ran
+    under the 96 MB limit — in the backward's straight-line per-head code
+    Mosaic DOES reuse the sequential [S, Sk] tiles (unlike the forward,
+    where 8 unrolled heads kept ~1 tile each live and OOM'd). Chunking a
+    proven whole-row shape costs ~4% (measured 89.7 -> 93.0 ms ch=64), so
+    keep whole rows inside the proven envelope and chunk only beyond it
+    (e.g. SR H=8, estimated per-head: the conservative model that matches
+    the forward's measured behavior)."""
+    if num_heads <= 6 and 5 * s * sk_total * 4 <= 64 * 2 ** 20:
+        return s, 5 * s * sk_total * 4
+    cq = pick_q_chunk(s, sk_total, num_heads, tiles=5)
+    return cq, num_heads * 5 * cq * sk_total * 4
+
+
 def _kernel_packed(x_ref, o_ref, *, H: int, d: int, cq: int, sm_scale: float,
                    norm_eps: Optional[float], zero_sink: int):
     """Whole-sequence self-attention on one batch row of the packed conv
@@ -500,7 +519,7 @@ def flash_fused_packed_bwd(qkv, g, num_heads: int, *,
     if sm_scale is None:
         sm_scale = 1.0 / (d ** 0.5)
     H = num_heads
-    cq = pick_q_chunk(s, s, H, tiles=5)
+    cq, _ = pick_q_chunk_bwd(s, s, H)
     assert s % cq == 0, (s, cq)
     kern = functools.partial(_kernel_packed_bwd, H=H, d=d, cq=cq,
                              sm_scale=float(sm_scale), norm_eps=norm_eps,
@@ -555,7 +574,7 @@ def flash_fused_packed_xattn_bwd(qkv, feats, g, num_heads: int, *,
         sm_scale = 1.0 / (d ** 0.5)
     biases = tuple(biases) if biases else ()
     sk_total = s + sum(f.shape[1] for f in feats)
-    cq = pick_q_chunk(s, sk_total, H, tiles=5)
+    cq, _ = pick_q_chunk_bwd(s, sk_total, H)
     assert s % cq == 0, (s, cq)
     kern = functools.partial(_kernel_packed_xattn_bwd, H=H, d=d, cq=cq,
                              n_src=len(feats), n_bias=len(biases),
