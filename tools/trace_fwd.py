@@ -145,18 +145,30 @@ def main():
         tcfg = TrainConfig(batch_size=b, ref_lr=1e-3, rampup_Mimg=0,
                            nimg_mult=6)
         exps = tuple(float(std_to_exp(s) + 1) for s in tcfg.ema_stds)
-        # NO donation: the traced fn is re-invoked with the same state.
+        # Donate + rebind state between calls (like bench_train): holding a
+        # second copy of the flagship train state (~5 GB: fp32 params +
+        # Adam moments + EMA trees) OOM'd the 16 GB HBM even at b=16.
         step = jax.jit(make_train_step(NVLoss(P_mean=-0.8, P_std=1.6), cfg,
-                                       tcfg, exps))
+                                       tcfg, exps), donate_argnums=0)
         state = init_train_state(params, tcfg)
         batch = {"src": jax.random.normal(key, (b, 2, 64, 64, 3)),
                  "tgt": jax.random.normal(jax.random.fold_in(key, 1),
                                           (b, 64, 64, 3)),
                  "geometry": jax.random.normal(jax.random.fold_in(key, 2),
                                                (b, 2, 20))}
-        fn_args = (state, batch, jax.random.PRNGKey(2))
-        srcmap = hlo_source_map(step.lower(*fn_args).compile())
-        path = capture(step, fn_args, iters=args.iters)
+        srcmap = hlo_source_map(
+            step.lower(state, batch, jax.random.PRNGKey(2)).compile())
+        outdir = "/tmp/vivid_trace"
+        state, st = step(state, batch, jax.random.PRNGKey(2))  # compile+warm
+        float(st["Loss/loss"])
+        with jax.profiler.trace(outdir):
+            for i in range(args.iters):
+                state, st = step(state, batch, jax.random.fold_in(
+                    jax.random.PRNGKey(2), i))
+            float(st["Loss/loss"])
+        path = sorted(glob.glob(os.path.join(
+            outdir, "plugins/profile/*/*.trace.json.gz")),
+            key=os.path.getmtime)[-1]
     elif args.what == "sr":
         # The production SR serving forward (generate_images.py:310-327):
         # 256px super-res model, ch=64, conditioning image. Architecture =
