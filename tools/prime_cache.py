@@ -95,17 +95,19 @@ def prime_sampler(ch, batch, num_steps=32, res=64):
 
 def prime_sr_sampler(batch, num_steps=32, res=256):
     from vivid_tpu.diffusion.sampler import edm_sampler, make_denoiser
-    from vivid_tpu.nn.precond import PrecondConfig, precond_init
-    cfg = PrecondConfig(img_resolution=res, num_sources=2, model_channels=64,
-                        super_res=True, use_bf16=True, remat=False)
+    from vivid_tpu.nn.precond import precond_init
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from bench_serve import sr_config
+    cfg = sr_config("log")  # the size-documented SR arch (57.55M)
 
     @jax.jit
     def sample(p, s, g, c, n):
         den = make_denoiser(p, cfg, src=s, geometry=g, conditioning_image=c)
         return edm_sampler(den, n, num_steps=num_steps)
 
+    ns = cfg.num_sources
     params = _abstract(precond_init, jax.random.PRNGKey(0), cfg)
-    args = (params, _sds((batch, 2, res, res, 3)), _sds((batch, 2, 20)),
+    args = (params, _sds((batch, ns, res, res, 3)), _sds((batch, ns, 20)),
             _sds((batch, res, res, 3)), _sds((batch, res, res, 3)))
     _time(f"SR sampler b={batch} steps={num_steps} {res}px",
           lambda: sample.lower(*args).compile())

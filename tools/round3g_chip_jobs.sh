@@ -16,3 +16,7 @@ timeout 3600 python tools/trace_fwd.py --what train --flagship \
   > "$LOG/trace_train_flagship_b32.log" 2>&1
 
 echo ALL_DONE
+
+timeout 3600 python tools/bigs_attn_lab.py --batch 8 \
+  > "$LOG/bigs_attn_lab.log" 2>&1
+echo ALL_DONE2
