@@ -72,10 +72,13 @@ def analyze(path, iters, top=40, srcmap=None):
     for e in ev:
         if e.get("ph") == "X" and e.get("pid") in tpu_pids and "dur" in e:
             name = e.get("name", "?")
-            # Skip the module-level region event ("jit__lambda(...)" etc.):
-            # it spans the whole executable run and double-counts every op
-            # beneath it (newer runtimes emit it; older ones did not).
-            if name.startswith("jit"):
+            # Skip region events that span (and double-count) the HLO ops
+            # beneath them: the module-level "jit__lambda(...)" span, and the
+            # purely-numeric sub-region spans newer runtimes emit (a train
+            # step showed four such events named "4"/"9"/"14"/"19" covering
+            # the whole iteration between them). Real HLO op names are never
+            # purely numeric.
+            if name.startswith("jit") or name.isdigit():
                 continue
             per_op[name] += e["dur"]
             total += e["dur"]
