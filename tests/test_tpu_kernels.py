@@ -237,3 +237,64 @@ def test_full_model_chip_parity(uncond, epipolar, cph):
     d = np.abs(a - c)
     assert (d > 0).mean() > 0.5, "vacuous comparison — U-Net output inert"
     assert _psnr(a, c) > 40, f"PSNR {_psnr(a, c):.1f} dB"
+
+
+@pytest.mark.parametrize("shape", [
+    (2, 4, 4096, 8192, 32),    # SR 64x64-level xattn shape (d=32)
+    (1, 2, 4096, 4096, 64),    # big-S d=64 (SR encoder-level)
+])
+def test_nomax_chip_parity(shape):
+    """flash_nomax (the big-S no-max kernel on the SR serving path) vs the
+    einsum reference ON THE CHIP, with pixel-normalized q/k as the
+    production sites guarantee (the constant softmax shift sqrt(D) is only
+    exact under that bound)."""
+    import jax
+    import jax.numpy as jnp
+    from vivid_tpu.kernels.attention import reference_attention
+    from vivid_tpu.kernels.flash import flash_nomax
+    from vivid_tpu.nn.mp import normalize
+    assert jax.devices()[0].platform == "tpu"
+    B, H, Sq, Sk, D = shape
+    key = jax.random.PRNGKey(0)
+    q = normalize(jax.random.normal(key, (B, H, Sq, D), jnp.bfloat16),
+                  axis=-1)
+    k = normalize(jax.random.normal(jax.random.fold_in(key, 1),
+                                    (B, H, Sk, D), jnp.bfloat16), axis=-1)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (B, H, Sk, D),
+                          jnp.bfloat16)
+    got = np.asarray(jax.jit(flash_nomax)(q, k, v), np.float32)
+    want = np.asarray(jax.jit(reference_attention)(q, k, v), np.float32)
+    assert np.abs(got - want).max() < 0.02
+
+
+def test_nomax_dispatch_grad_chip():
+    """_attention_local routes big-S unbiased shapes to the no-max kernel;
+    its custom_vjp keeps the stock flash backward. Chip check: forward
+    matches einsum, gradient matches the einsum gradient."""
+    import jax
+    import jax.numpy as jnp
+    from vivid_tpu.kernels.attention import (_attention_local,
+                                             reference_attention)
+    from vivid_tpu.nn.mp import normalize
+    assert jax.devices()[0].platform == "tpu"
+    B, H, Sq, Sk, D = 1, 2, 4096, 4096, 32
+    key = jax.random.PRNGKey(1)
+    q = normalize(jax.random.normal(key, (B, H, Sq, D), jnp.float32),
+                  axis=-1).astype(jnp.bfloat16)
+    k = normalize(jax.random.normal(jax.random.fold_in(key, 1),
+                                    (B, H, Sk, D), jnp.float32),
+                  axis=-1).astype(jnp.bfloat16)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (B, H, Sk, D),
+                          jnp.bfloat16)
+
+    def loss(fn, q_, k_, v_):
+        return jnp.sum(jnp.square(fn(q_, k_, v_).astype(jnp.float32)))
+
+    g_new = jax.jit(jax.grad(lambda *a: loss(_attention_local, *a),
+                             argnums=(0, 1, 2)))(q, k, v)
+    g_ref = jax.jit(jax.grad(lambda *a: loss(reference_attention, *a),
+                             argnums=(0, 1, 2)))(q, k, v)
+    for a, b in zip(g_new, g_ref):
+        na, nb = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        denom = np.abs(nb).max() + 1e-6
+        assert np.abs(na - nb).max() / denom < 3e-2

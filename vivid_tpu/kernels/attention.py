@@ -434,6 +434,40 @@ def self_attention_from_packed(qkv, num_heads: int, zero_sink: int = 0,
     return _pallas_self_attention_packed(qkv, num_heads, zero_sink, eps)
 
 
+_NOMAX_MIN_SQ = 4096  # big-S shapes only; smaller ones ride chip-proven paths
+
+
+@jax.custom_vjp
+def _flash_nomax_call(q, k, v):
+    """No-max kernel forward (exact under the normalized-q/k logit bound —
+    see kernels/flash.py flash_nomax) with the stock flash backward: the
+    nomax trick only pays on the forward's serial MXU/VPU chain; the stock
+    kernel's Pallas backward already owns the gradient path."""
+    from vivid_tpu.kernels.flash import flash_nomax
+    # bq=bk=2048 measured best at every big-S shape (nomax_attn_lab v7:
+    # 46.1/42.5 TF/s at d=32, 93.6 at d=64, vs stock flash's 33/32/71).
+    return flash_nomax(q, k, v,
+                       block_q=_largest_block(q.shape[2], 2048),
+                       block_k=_largest_block(k.shape[2], 2048),
+                       interpret=_interpret())
+
+
+def _flash_nomax_fwd(q, k, v):
+    return _flash_nomax_call(q, k, v), (q, k, v)
+
+
+def _flash_nomax_bwd(res, g):
+    q, k, v = res
+    if jax.devices()[0].platform == "tpu":
+        fn = lambda q_, k_, v_: _stock_flash(q_, k_, v_, None)
+    else:  # interpret-mode tests off-TPU: stock flash can't run there
+        fn = lambda q_, k_, v_: reference_attention(q_, k_, v_)
+    return jax.vjp(fn, q, k, v)[1](g)
+
+
+_flash_nomax_call.defvjp(_flash_nomax_fwd, _flash_nomax_bwd)
+
+
 def _attention_local(q, k, v, bias: Optional[jax.Array] = None):
     if not _use_pallas(q, k):
         return reference_attention(q, k, v, bias)
@@ -447,6 +481,17 @@ def _attention_local(q, k, v, bias: Optional[jax.Array] = None):
         if bias is None:
             return _flash_interpret(q, k, v)
         return _flash_interpret_biased(q, k, v, bias)
+    # Big-S unbiased shapes (the log-parity SR's S=16384/4096 attentions):
+    # the no-max kernel beats stock flash 33 -> 45 TF/s at d=32
+    # (docs/PERF.md "Log-parity SR architecture"). Its exactness needs the
+    # normalized-q/k logit bound, which every fused_attention caller
+    # provides (blocks.split_qkv normalizes), and no additive bias.
+    if bias is None and q.shape[2] >= _NOMAX_MIN_SQ:
+        return _flash_nomax_call(q, k, v)
+    return _stock_flash(q, k, v, bias)
+
+
+def _stock_flash(q, k, v, bias: Optional[jax.Array] = None):
     flash_attention, BlockSizes = _flash()
     b, h, sq, d = q.shape
     sk = k.shape[2]

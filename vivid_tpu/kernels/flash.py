@@ -681,3 +681,114 @@ def flash_fused(q, k, v, bias=None, *, sm_scale: Optional[float] = None,
         ],
         interpret=interpret,
     )(*args)
+
+
+# ---------------------------------------------------------------------------
+# No-max streaming attention for the big-S low-d shapes (the log-parity SR
+# model attends at S=16384/4096 with head_dim=32 — reference models.py
+# SRXAttnUNet cph=32; experiments/log.txt:720-792 param table).
+#
+# Why it exists: at d=32 the MXU pads both the 32-deep QK^T contraction and
+# the 32-wide PV output to its 128 quantum, costing ~2.6 ps/logit — and the
+# online-softmax VPU chain (rowmax, exp, rescale, rowsum) costs about the
+# same, so a serial per-tile schedule lands at ~33 TF/s (stock flash,
+# measured flat across all block sizes) while the padded-MXU structural cap
+# is ~49 TF/s. This kernel deletes the VPU work that cannot overlap:
+#
+#   * **No online max.** The model pixel-normalizes q and k before
+#     attention (mp.normalize: x / (eps + ||x||/sqrt(D)), so every row norm
+#     is < sqrt(D) and every scaled logit is bounded by |q.k|/sqrt(D) <
+#     sqrt(D). softmax(s) = exp(s - C)/sum(exp(s - C)) for ANY constant C —
+#     with C = sqrt(D), exp(s - C) <= ~1 can never overflow, so the
+#     running max, the alpha-rescale of the accumulator, and their VPU
+#     chains are unnecessary. EXACT, not approximate; callers must pass
+#     normalized q/k (all fused_attention call sites do — nn/blocks.py
+#     split_qkv normalizes before the kernel).
+#   * **Independent k-sub-chains** per grid step (chains=2): the two
+#     dot->exp->dot chains have no data dependence, letting Mosaic overlap
+#     one chain's exp (VPU) with the other's dots (MXU).
+#   * sm_scale folded into the [bq, D] q tile instead of the [bq, bk]
+#     logits.
+#
+# Measured (tools/nomax_attn_lab.py, v5e): [8,4,16384,32768,32] stock flash
+# 33.4 TF/s -> 44.7; [8,6,4096,8192,32] 32.4 -> 43.2. Forward-only: the
+# dispatch wrapper in kernels/attention.py keeps the stock flash backward.
+
+def _kernel_nomax(q_ref, k_ref, v_ref, o_ref, acc_ref, l_ref, *,
+                  sm_scale: float, shift: float, n_k: int, chains: int):
+    """Grid (B, H, n_q, n_k), k innermost; acc/l scratch live across the
+    k steps. p = exp(s - shift) with shift >= any possible scaled logit."""
+    ik = pl.program_id(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    q = (q_ref[0, 0].astype(jnp.float32) * sm_scale).astype(q_ref.dtype)
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    bk = k.shape[0] // chains
+    for c in range(chains):
+        kc = k[c * bk:(c + 1) * bk]
+        vc = v[c * bk:(c + 1) * bk]
+        s = jax.lax.dot_general(q, kc, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        p = jnp.exp(s - shift)
+        l_ref[...] = l_ref[...] + jnp.broadcast_to(
+            jnp.sum(p, axis=-1, keepdims=True), l_ref.shape)
+        acc_ref[...] = acc_ref[...] + jax.lax.dot(
+            p.astype(vc.dtype), vc, preferred_element_type=jnp.float32)
+
+    @pl.when(ik == n_k - 1)
+    def _finalize():
+        o_ref[0, 0] = (acc_ref[...] / l_ref[:, :1]).astype(o_ref.dtype)
+
+
+def flash_nomax(q, k, v, *, sm_scale: Optional[float] = None,
+                block_q: int = 1024, block_k: int = 2048, chains: int = 2,
+                interpret: bool = False):
+    """Forward-only no-max attention (see block comment above). q/k MUST be
+    pixel-normalized [B, H, S, D] (row norms < sqrt(D)) — the constant
+    softmax shift sqrt(D) is only exact under that bound. No bias, no
+    zero-sink (the production big-S SR shapes carry neither)."""
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    block_q = min(block_q, sq)
+    block_k = min(block_k, sk)
+    assert sq % block_q == 0 and sk % block_k == 0, (sq, sk, block_q, block_k)
+    if sm_scale is None:
+        sm_scale = 1.0 / (d ** 0.5)
+    if block_k % (128 * chains):
+        chains = 1
+    n_q, n_k = sq // block_q, sk // block_k
+    kern = functools.partial(_kernel_nomax, sm_scale=float(sm_scale),
+                             shift=float(d ** 0.5), n_k=n_k, chains=chains)
+    cost = pl.CostEstimate(
+        flops=4 * b * h * sq * sk * d,
+        transcendentals=b * h * sq * sk,
+        bytes_accessed=(q.size + k.size + v.size + b * h * sq * d)
+        * q.dtype.itemsize,
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(b, h, n_q, n_k),
+        cost_estimate=cost,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2 ** 20),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d),
+                         lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda ib, ih, iq, ik: (ib, ih, ik, 0)),
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda ib, ih, iq, ik: (ib, ih, ik, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d),
+                               lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
+        out_shape=_out_struct((b, h, sq, d), v.dtype, q),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),     # acc
+            pltpu.VMEM((block_q, 128), jnp.float32),   # denom
+        ],
+        interpret=interpret,
+    )(q, k, v)
