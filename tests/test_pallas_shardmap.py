@@ -151,3 +151,32 @@ def test_dp_serving_sampler_runs_packed_kernels(interpret_kernels,
     assert n_packed >= 2
     diff = np.abs(got.astype(np.int16) - want.astype(np.int16))
     assert diff.max() <= 1, f"kernel/composite images diverge ({diff.max()})"
+
+
+def test_nomax_kernel_inside_shard_map(interpret_kernels):
+    """flash_nomax (the big-S SR serving kernel) under a 2-shard data
+    shard_map equals the replicated einsum reference — on real pods the TP
+    per-head-shard dispatch routes big-S unbiased shapes to this kernel
+    inside shard_map, so its vma propagation must hold like the packed
+    kernels'."""
+    from vivid_tpu.kernels.attention import reference_attention
+    from vivid_tpu.kernels.flash import flash_nomax
+    from vivid_tpu.nn.mp import normalize
+    mesh = _mesh_1d(2)
+    B, H, S, Sk, D = 2, 2, 256, 512, 32
+    key = jax.random.PRNGKey(5)
+    q = normalize(jax.random.normal(key, (B, H, S, D), jnp.float32), axis=-1)
+    k = normalize(jax.random.normal(jax.random.fold_in(key, 1),
+                                    (B, H, Sk, D), jnp.float32), axis=-1)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (B, H, Sk, D),
+                          jnp.float32)
+    fn = jax.jit(jax.shard_map(
+        lambda q_, k_, v_: flash_nomax(q_, k_, v_, block_q=128, block_k=256,
+                                       interpret=True),
+        mesh=mesh, in_specs=P("data"), out_specs=P("data"),
+        check_vma=False))
+    sh = NamedSharding(mesh, P("data"))
+    got = np.asarray(fn(jax.device_put(q, sh), jax.device_put(k, sh),
+                        jax.device_put(v, sh)))
+    want = np.asarray(reference_attention(q, k, v))
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=0)

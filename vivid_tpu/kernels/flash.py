@@ -33,6 +33,7 @@ out [B, H, Sq, D] in v.dtype.
 """
 
 import functools
+import math
 from typing import Optional
 
 import jax
@@ -54,16 +55,23 @@ def _out_struct(shape, dtype, like):
     return jax.ShapeDtypeStruct(shape, dtype)
 
 
-def _rms_norm(x, norm_eps: Optional[float]):
+def _rms_norm(x, norm_eps: Optional[float], out_scale: Optional[float] = None):
     """Reference pixel norm (mp.normalize semantics) on a 2-D tile, fp32
     math, result back in the input dtype: the QK^T and PV dots must run at
-    the MXU's bf16 rate (fp32 operands quarter it)."""
+    the MXU's bf16 rate (fp32 operands quarter it). `out_scale` folds a
+    constant (the softmax scale) into this tiny tile instead of a
+    [cq, Sk] multiply on the logits."""
     if norm_eps is None:
-        return x
+        if out_scale is None:
+            return x
+        return (x.astype(jnp.float32) * out_scale).astype(x.dtype)
     x32 = x.astype(jnp.float32)
     ss = jnp.sum(x32 * x32, axis=-1, keepdims=True)
     inv_sqrt_d = 1.0 / (x.shape[-1] ** 0.5)
-    return (x32 / (norm_eps + inv_sqrt_d * jnp.sqrt(ss))).astype(x.dtype)
+    den = norm_eps + inv_sqrt_d * jnp.sqrt(ss)
+    if out_scale is None:
+        return (x32 / den).astype(x.dtype)
+    return (x32 * (out_scale / den)).astype(x.dtype)
 
 
 def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, acc_ref, m_ref, l_ref, *,
@@ -161,7 +169,8 @@ def pick_q_chunk_bwd(s: int, sk_total: int, num_heads: int):
 
 
 def _kernel_packed(x_ref, o_ref, *, H: int, d: int, cq: int, sm_scale: float,
-                   norm_eps: Optional[float], zero_sink: int):
+                   norm_eps: Optional[float], zero_sink: int,
+                   no_max: bool = False):
     """Whole-sequence self-attention on one batch row of the packed conv
     output. x_ref [1, S, 3*H*D] part-major; heads run as a static loop with
     lane slices (the whole per-batch slice is <1 MB — q, k and v are the
@@ -179,18 +188,36 @@ def _kernel_packed(x_ref, o_ref, *, H: int, d: int, cq: int, sm_scale: float,
             q0 = i * cq
             # Chunk loads come from the REF with pl.ds — lax.dynamic_slice
             # on a materialized value has no Mosaic TPU lowering.
-            q = _rms_norm(x_ref[0, pl.ds(q0, cq), h * d:(h + 1) * d],
-                          norm_eps)
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * sm_scale
-            m = jnp.max(s, axis=-1, keepdims=True)
-            if zero_sink:
-                m = jnp.maximum(m, 0.0)
-            p = jnp.exp(s - m)
-            l = jnp.sum(p, axis=-1, keepdims=True)
-            if zero_sink:
-                l = l + zero_sink * jnp.exp(-m)
+            if no_max:
+                # Constant-shift softmax (see flash_nomax): the in-kernel
+                # RMS norm bounds every row by sqrt(d), so scaled logits
+                # are bounded by sqrt(d) and exp(s - sqrt(d)) cannot
+                # overflow — the rowmax pass and the [cq, S] scale
+                # multiply (folded into q here) are unnecessary. Exact.
+                q = _rms_norm(x_ref[0, pl.ds(q0, cq), h * d:(h + 1) * d],
+                              norm_eps, out_scale=sm_scale)
+                s = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                shift = d * sm_scale  # = sqrt(d) at the default sm_scale
+                p = jnp.exp(s - shift)
+                l = jnp.sum(p, axis=-1, keepdims=True)
+                if zero_sink:
+                    # zero-sink columns carry logit 0: mass zs * exp(-C).
+                    l = l + zero_sink * math.exp(-shift)
+            else:
+                q = _rms_norm(x_ref[0, pl.ds(q0, cq), h * d:(h + 1) * d],
+                              norm_eps)
+                s = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * sm_scale
+                m = jnp.max(s, axis=-1, keepdims=True)
+                if zero_sink:
+                    m = jnp.maximum(m, 0.0)
+                p = jnp.exp(s - m)
+                l = jnp.sum(p, axis=-1, keepdims=True)
+                if zero_sink:
+                    l = l + zero_sink * jnp.exp(-m)
             out = jax.lax.dot(p.astype(v.dtype), v,
                               preferred_element_type=jnp.float32) / l
             o_ref[0, pl.ds(q0, cq), h * d:(h + 1) * d] = out.astype(
@@ -225,9 +252,12 @@ def flash_fused_packed(qkv, num_heads: int, *, sm_scale: Optional[float] = None,
 
     cq = pick_q_chunk(s, s, H)
     assert s % cq == 0, (s, cq)
+    # no_max: with in-kernel RMS norm (or the callers' pre-normalized
+    # contract when norm_eps is None) logits are bounded by sqrt(d), so
+    # constant-shift softmax is exact — see _kernel_packed.
     kern = functools.partial(_kernel_packed, H=H, d=d, cq=cq,
                              sm_scale=float(sm_scale), norm_eps=norm_eps,
-                             zero_sink=int(zero_sink))
+                             zero_sink=int(zero_sink), no_max=True)
     cost = pl.CostEstimate(
         flops=4 * b * H * s * s * d + (9 * b * s * c3
                                        if norm_eps is not None else 0),
@@ -248,7 +278,7 @@ def flash_fused_packed(qkv, num_heads: int, *, sm_scale: Optional[float] = None,
 
 def _kernel_packed_xattn(x_ref, *rest, H: int, d: int, cq: int, n_src: int,
                          n_bias: int, sm_scale: float,
-                         norm_eps: Optional[float]):
+                         norm_eps: Optional[float], no_max: bool = False):
     """Cross-attention on packed rows: x_ref [1, S, 3HD] (q + self-kv),
     then n_src feat refs [1, Sf, 2HD] ((k, v) part-major), then n_bias
     (0 or n_src) per-source logit-bias refs [1, H, S, Sf] (the epipolar
@@ -276,6 +306,24 @@ def _kernel_packed_xattn(x_ref, *rest, H: int, d: int, cq: int, n_src: int,
             q0 = i * cq
             # Ref load with pl.ds (lax.dynamic_slice on a value does not
             # lower in Mosaic TPU).
+            if no_max:
+                # Constant-shift softmax over the joint segments (see
+                # _kernel_packed / flash_nomax) — only taken when no bias
+                # segment exists (learned epipolar offsets would break the
+                # sqrt(d) logit bound the in-kernel RMS norm guarantees).
+                q = _rms_norm(x_ref[0, pl.ds(q0, cq), h * d:(h + 1) * d],
+                              norm_eps, out_scale=sm_scale)
+                logits = [jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) for k in ks]
+                ps = [jnp.exp(s_ - d * sm_scale) for s_ in logits]
+                l = sum(p.sum(axis=-1, keepdims=True) for p in ps)
+                out = sum(jax.lax.dot(p.astype(v.dtype), v,
+                                      preferred_element_type=jnp.float32)
+                          for p, v in zip(ps, vs)) / l
+                o_ref[0, pl.ds(q0, cq), h * d:(h + 1) * d] = out.astype(
+                    o_ref.dtype)
+                return ()
             q = _rms_norm(x_ref[0, pl.ds(q0, cq), h * d:(h + 1) * d],
                           norm_eps)
             logits = [jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
@@ -327,9 +375,12 @@ def flash_fused_packed_xattn(qkv, feats, num_heads: int, *, biases=None,
 
     cq = pick_q_chunk(s, sk_total, H)
     assert s % cq == 0, (s, cq)
+    # Constant-shift softmax only without bias segments (learned epipolar
+    # offsets break the sqrt(d) logit bound) — see _kernel_packed_xattn.
     kern = functools.partial(_kernel_packed_xattn, H=H, d=d, cq=cq,
                              n_src=len(feats), n_bias=len(biases),
-                             sm_scale=float(sm_scale), norm_eps=norm_eps)
+                             sm_scale=float(sm_scale), norm_eps=norm_eps,
+                             no_max=not biases)
     cost = pl.CostEstimate(
         flops=4 * b * H * s * sk_total * d + (3 * b * s * c3
                                               if norm_eps is not None else 0),
@@ -390,7 +441,7 @@ def _norm_bwd(x_raw, dy, norm_eps: Optional[float]):
 def _kernel_packed_bwd_common(x_ref, f_refs, b_refs, g_ref, dx_ref, df_refs,
                               db_refs, *, H: int, d: int, cq: int,
                               sm_scale: float, norm_eps: Optional[float],
-                              zero_sink: int):
+                              zero_sink: int, no_max: bool = False):
     """Query-chunked backward shared by self- and cross-attention.
 
     Per head: normalize the k/v segments once (whole rows — [Sk_i, D] tiles
@@ -438,15 +489,25 @@ def _kernel_packed_bwd_common(x_ref, f_refs, b_refs, g_ref, dx_ref, df_refs,
                     s_ = s_ + b_refs[j - 1][0, h, pl.ds(q0, cq)].astype(
                         jnp.float32)
                 logits.append(s_)
-            m = logits[0].max(axis=-1, keepdims=True)
-            for s_ in logits[1:]:
-                m = jnp.maximum(m, s_.max(axis=-1, keepdims=True))
-            if zero_sink:
-                m = jnp.maximum(m, 0.0)
-            ps = [jnp.exp(s_ - m) for s_ in logits]
-            l = sum(p.sum(axis=-1, keepdims=True) for p in ps)
-            if zero_sink:
-                l = l + zero_sink * jnp.exp(-m)
+            if no_max:
+                # Constant-shift softmax recompute (see _kernel_packed):
+                # exact under the in-kernel-norm logit bound; saves the
+                # rowmax reduces. Only taken when no bias segment exists.
+                shift = d * sm_scale
+                ps = [jnp.exp(s_ - shift) for s_ in logits]
+                l = sum(p.sum(axis=-1, keepdims=True) for p in ps)
+                if zero_sink:
+                    l = l + zero_sink * math.exp(-shift)
+            else:
+                m = logits[0].max(axis=-1, keepdims=True)
+                for s_ in logits[1:]:
+                    m = jnp.maximum(m, s_.max(axis=-1, keepdims=True))
+                if zero_sink:
+                    m = jnp.maximum(m, 0.0)
+                ps = [jnp.exp(s_ - m) for s_ in logits]
+                l = sum(p.sum(axis=-1, keepdims=True) for p in ps)
+                if zero_sink:
+                    l = l + zero_sink * jnp.exp(-m)
             pts = [p / l for p in ps]                    # fp32 [cq, Sk_i]
             dO16 = dO.astype(dt)
             dpts = [jax.lax.dot_general(dO16, vh, (((1,), (1,)), ((), ())),
@@ -505,7 +566,8 @@ def _kernel_packed_bwd(x_ref, g_ref, dx_ref, *, H: int, d: int, cq: int,
                        zero_sink: int):
     _kernel_packed_bwd_common(x_ref, (), (), g_ref, dx_ref, (), (),
                               H=H, d=d, cq=cq, sm_scale=sm_scale,
-                              norm_eps=norm_eps, zero_sink=zero_sink)
+                              norm_eps=norm_eps, zero_sink=zero_sink,
+                              no_max=True)
 
 
 def flash_fused_packed_bwd(qkv, g, num_heads: int, *,
@@ -557,7 +619,8 @@ def _kernel_packed_xattn_bwd(x_ref, *rest, H: int, d: int, cq: int,
     # bias application rule.
     _kernel_packed_bwd_common(x_ref, f_refs, b_refs, g_ref, dx_ref, df_refs,
                               db_refs, H=H, d=d, cq=cq, sm_scale=sm_scale,
-                              norm_eps=norm_eps, zero_sink=0)
+                              norm_eps=norm_eps, zero_sink=0,
+                              no_max=n_bias == 0)
 
 
 def flash_fused_packed_xattn_bwd(qkv, feats, g, num_heads: int, *,
@@ -763,7 +826,8 @@ def flash_nomax(q, k, v, *, sm_scale: Optional[float] = None,
         chains = 1
     n_q, n_k = sq // block_q, sk // block_k
     kern = functools.partial(_kernel_nomax, sm_scale=float(sm_scale),
-                             shift=float(d ** 0.5), n_k=n_k, chains=chains)
+                             shift=float(d * sm_scale), n_k=n_k,
+                             chains=chains)
     cost = pl.CostEstimate(
         flops=4 * b * h * sq * sk * d,
         transcendentals=b * h * sq * sk,
