@@ -267,6 +267,34 @@ def test_nomax_chip_parity(shape):
     assert np.abs(got - want).max() < 0.02
 
 
+def test_nomax_biased_chip_parity():
+    """Biased flash_nomax (dynamic shift = sqrt(D)+max(bias) through SMEM —
+    the epipolar big-S path) vs the einsum reference ON THE CHIP. The bias
+    mimics get_epipolar_attn's form including a positive learned offset
+    that breaks the static sqrt(D) bound."""
+    import jax
+    import jax.numpy as jnp
+    from vivid_tpu.kernels.attention import reference_attention
+    from vivid_tpu.kernels.flash import flash_nomax
+    from vivid_tpu.nn.mp import normalize
+    assert jax.devices()[0].platform == "tpu"
+    B, H, Sq, Sk, D = 1, 2, 4096, 8192, 32
+    key = jax.random.PRNGKey(2)
+    q = normalize(jax.random.normal(key, (B, H, Sq, D), jnp.bfloat16),
+                  axis=-1)
+    k = normalize(jax.random.normal(jax.random.fold_in(key, 1),
+                                    (B, H, Sk, D), jnp.bfloat16), axis=-1)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (B, H, Sk, D),
+                          jnp.bfloat16)
+    bias = (3.0 * jax.nn.sigmoid(jax.random.normal(
+        jax.random.fold_in(key, 3), (B, H, Sq, Sk))) + 2.5).astype(
+        jnp.float32)
+    got = np.asarray(jax.jit(flash_nomax)(q, k, v, bias), np.float32)
+    want = np.asarray(jax.jit(reference_attention)(q, k, v, bias),
+                      np.float32)
+    assert np.abs(got - want).max() < 0.02
+
+
 def test_nomax_dispatch_grad_chip():
     """_attention_local routes big-S unbiased shapes to the no-max kernel;
     its custom_vjp keeps the stock flash backward. Chip check: forward

@@ -468,6 +468,36 @@ def _flash_nomax_bwd(res, g):
 _flash_nomax_call.defvjp(_flash_nomax_fwd, _flash_nomax_bwd)
 
 
+@jax.custom_vjp
+def _flash_nomax_biased_call(q, k, v, bias):
+    """Biased no-max forward (epipolar big-S shapes): exact under the
+    dynamic shift = sqrt(D) + max(bias) computed in flash_nomax; backward
+    stays on the stock flash kernel (its Pallas backward returns the ab
+    cotangent — see _flash_attention_bwd's ds)."""
+    from vivid_tpu.kernels.flash import flash_nomax
+    return flash_nomax(q, k, v, bias,
+                       block_q=_largest_block(q.shape[2], 2048),
+                       block_k=_largest_block(k.shape[2], 2048),
+                       interpret=_interpret())
+
+
+def _flash_nomax_biased_fwd(q, k, v, bias):
+    return _flash_nomax_biased_call(q, k, v, bias), (q, k, v, bias)
+
+
+def _flash_nomax_biased_bwd(res, g):
+    q, k, v, bias = res
+    if jax.devices()[0].platform == "tpu":
+        fn = _stock_flash
+    else:  # interpret-mode tests off-TPU: stock flash can't run there
+        fn = reference_attention
+    return jax.vjp(fn, q, k, v, bias)[1](g)
+
+
+_flash_nomax_biased_call.defvjp(_flash_nomax_biased_fwd,
+                                _flash_nomax_biased_bwd)
+
+
 def _attention_local(q, k, v, bias: Optional[jax.Array] = None):
     if not _use_pallas(q, k):
         return reference_attention(q, k, v, bias)
@@ -481,13 +511,17 @@ def _attention_local(q, k, v, bias: Optional[jax.Array] = None):
         if bias is None:
             return _flash_interpret(q, k, v)
         return _flash_interpret_biased(q, k, v, bias)
-    # Big-S unbiased shapes (the log-parity SR's S=16384/4096 attentions):
-    # the no-max kernel beats stock flash 33 -> 45 TF/s at d=32
-    # (docs/PERF.md "Log-parity SR architecture"). Its exactness needs the
-    # normalized-q/k logit bound, which every fused_attention caller
-    # provides (blocks.split_qkv normalizes), and no additive bias.
-    if bias is None and q.shape[2] >= _NOMAX_MIN_SQ:
-        return _flash_nomax_call(q, k, v)
+    # Big-S shapes (the log-parity SR's S=16384/4096 attentions): the no-max
+    # kernel beats stock flash 33 -> 45 TF/s at d=32 (docs/PERF.md
+    # "Log-parity SR architecture"). Its exactness needs the normalized-q/k
+    # logit bound, which every fused_attention caller provides
+    # (blocks.split_qkv normalizes); biased shapes use the dynamic
+    # shift = sqrt(D) + max(bias) variant (epipolar offsets are learned, so
+    # the static bound alone doesn't cover them).
+    if q.shape[2] >= _NOMAX_MIN_SQ:
+        if bias is None:
+            return _flash_nomax_call(q, k, v)
+        return _flash_nomax_biased_call(q, k, v, bias)
     return _stock_flash(q, k, v, bias)
 
 

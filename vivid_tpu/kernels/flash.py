@@ -808,13 +808,56 @@ def _kernel_nomax(q_ref, k_ref, v_ref, o_ref, acc_ref, l_ref, *,
         o_ref[0, 0] = (acc_ref[...] / l_ref[:, :1]).astype(o_ref.dtype)
 
 
-def flash_nomax(q, k, v, *, sm_scale: Optional[float] = None,
+def _kernel_nomax_biased(shift_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
+                         acc_ref, l_ref, *, sm_scale: float, n_k: int,
+                         chains: int):
+    """Biased no-max variant: p = exp(q.k * scale + bias - shift) with a
+    DYNAMIC shift scalar (SMEM) computed outside the kernel as
+    sqrt(D) + max(bias) — the epipolar bias carries learned per-head offsets
+    (geometry/epipolar.py get_epipolar_attn), so the static sqrt(D) bound of
+    the unbiased kernel does not cover it. Still exact: softmax is invariant
+    to any constant shift, and shift >= every possible logit means exp can
+    never overflow. Same two-sub-chain schedule as _kernel_nomax."""
+    ik = pl.program_id(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    shift = shift_ref[0]
+    q = (q_ref[0, 0].astype(jnp.float32) * sm_scale).astype(q_ref.dtype)
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    bias = bias_ref[0, 0]
+    bk = k.shape[0] // chains
+    for c in range(chains):
+        kc = k[c * bk:(c + 1) * bk]
+        vc = v[c * bk:(c + 1) * bk]
+        s = jax.lax.dot_general(q, kc, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s + bias[:, c * bk:(c + 1) * bk].astype(jnp.float32)
+        p = jnp.exp(s - shift)
+        l_ref[...] = l_ref[...] + jnp.broadcast_to(
+            jnp.sum(p, axis=-1, keepdims=True), l_ref.shape)
+        acc_ref[...] = acc_ref[...] + jax.lax.dot(
+            p.astype(vc.dtype), vc, preferred_element_type=jnp.float32)
+
+    @pl.when(ik == n_k - 1)
+    def _finalize():
+        o_ref[0, 0] = (acc_ref[...] / l_ref[:, :1]).astype(o_ref.dtype)
+
+
+def flash_nomax(q, k, v, bias=None, *, sm_scale: Optional[float] = None,
                 block_q: int = 1024, block_k: int = 2048, chains: int = 2,
                 interpret: bool = False):
     """Forward-only no-max attention (see block comment above). q/k MUST be
-    pixel-normalized [B, H, S, D] (row norms < sqrt(D)) — the constant
-    softmax shift sqrt(D) is only exact under that bound. No bias, no
-    zero-sink (the production big-S SR shapes carry neither)."""
+    pixel-normalized [B, H, S, D] (row norms < sqrt(D)). Unbiased: the
+    constant softmax shift sqrt(D) is exact under that bound, baked into the
+    kernel as a compile-time constant. Biased (the epipolar path): the shift
+    becomes sqrt(D) + max(bias), one global jnp.max outside the kernel,
+    passed in through SMEM — see _kernel_nomax_biased. No zero-sink (the
+    production big-S SR shapes carry none)."""
     b, h, sq, d = q.shape
     sk = k.shape[2]
     block_q = min(block_q, sq)
@@ -825,28 +868,25 @@ def flash_nomax(q, k, v, *, sm_scale: Optional[float] = None,
     if block_k % (128 * chains):
         chains = 1
     n_q, n_k = sq // block_q, sk // block_k
-    kern = functools.partial(_kernel_nomax, sm_scale=float(sm_scale),
-                             shift=float(d * sm_scale), n_k=n_k,
-                             chains=chains)
     cost = pl.CostEstimate(
         flops=4 * b * h * sq * sk * d,
         transcendentals=b * h * sq * sk,
         bytes_accessed=(q.size + k.size + v.size + b * h * sq * d)
-        * q.dtype.itemsize,
+        * q.dtype.itemsize + (bias.size * bias.dtype.itemsize
+                              if bias is not None else 0),
     )
-    return pl.pallas_call(
-        kern,
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, d),
+                     lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
+        pl.BlockSpec((1, 1, block_k, d),
+                     lambda ib, ih, iq, ik: (ib, ih, ik, 0)),
+        pl.BlockSpec((1, 1, block_k, d),
+                     lambda ib, ih, iq, ik: (ib, ih, ik, 0)),
+    ]
+    common = dict(
         grid=(b, h, n_q, n_k),
         cost_estimate=cost,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2 ** 20),
-        in_specs=[
-            pl.BlockSpec((1, 1, block_q, d),
-                         lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
-            pl.BlockSpec((1, 1, block_k, d),
-                         lambda ib, ih, iq, ik: (ib, ih, ik, 0)),
-            pl.BlockSpec((1, 1, block_k, d),
-                         lambda ib, ih, iq, ik: (ib, ih, ik, 0)),
-        ],
         out_specs=pl.BlockSpec((1, 1, block_q, d),
                                lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
         out_shape=_out_struct((b, h, sq, d), v.dtype, q),
@@ -855,4 +895,22 @@ def flash_nomax(q, k, v, *, sm_scale: Optional[float] = None,
             pltpu.VMEM((block_q, 128), jnp.float32),   # denom
         ],
         interpret=interpret,
-    )(q, k, v)
+    )
+    if bias is None:
+        kern = functools.partial(_kernel_nomax, sm_scale=float(sm_scale),
+                                 shift=float(d * sm_scale), n_k=n_k,
+                                 chains=chains)
+        return pl.pallas_call(kern, in_specs=in_specs, **common)(q, k, v)
+    assert bias.shape == (b, h, sq, sk), (bias.shape, q.shape, k.shape)
+    kern = functools.partial(_kernel_nomax_biased, sm_scale=float(sm_scale),
+                             n_k=n_k, chains=chains)
+    # Exact bound on every scaled logit: |q.k|*scale < sqrt(D) under the
+    # callers' pixel-normalized contract, plus the bias max — one global
+    # reduce over a tensor the kernel reads anyway.
+    shift = (d * sm_scale
+             + jnp.max(bias.astype(jnp.float32)).reshape(1))
+    in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
+                + [pl.BlockSpec((1, 1, block_q, block_k),
+                                lambda ib, ih, iq, ik: (ib, ih, iq, ik))])
+    return pl.pallas_call(kern, in_specs=in_specs, **common)(
+        shift, q, k, v, bias)
