@@ -249,11 +249,34 @@ def test_param_count_parity_base_channels64():
 
 
 @pytest.mark.slow
-def test_param_count_parity_sr_preset():
-    """Reference NVPrecond at the vivid-sr preset config counts exactly
-    38,198,325 trainable params (verified against the torch implementation);
-    the experiments/log.txt 57.5M figure was a different run config."""
+def test_param_count_parity_sr_in0_reading():
+    """Reference NVPrecond at the reference's LIVE vivid-sr preset reading
+    (dual-source, no extra_attn) counts exactly 38,198,325 trainable params
+    (verified against the torch implementation); the shipped model is the
+    57.5M log-parity arch tested below."""
     cfg = PrecondConfig(img_resolution=256, num_sources=2, model_channels=64,
                         super_res=True, noisy_sr=0.25)
     params = precond_init(jax.random.PRNGKey(0), cfg)
     assert n_trainable(params) == 38_198_325
+
+
+@pytest.mark.slow
+def test_param_count_parity_sr_preset_log():
+    """The vivid-sr training preset must build the SHIPPED SR architecture
+    (experiments/log.txt:791: 57,549,187 params — vanilla single-source,
+    labels 20/20, extra_attn=1). The logged profile's first conv shows
+    cin=4, i.e. the profiled module was built WITHOUT the 3 SR-conditioning
+    input channels a functional super-res forward requires (PARITY.md "SR
+    architecture archaeology"); a runnable model therefore carries exactly
+    3*3*3*64 = 1,728 params more. Goes through the real CLI config assembly
+    so preset/NVPrecond wiring drift is caught, not just the raw config."""
+    from vivid_tpu.cli.train_nvs import setup_training_config
+    c = setup_training_config(preset="vivid-sr", data="/nonexistent")
+    assert c.vanilla_mode and c.sr_training
+    net = dict(c.network_kwargs)
+    net.setdefault("img_resolution", 256)
+    cfg = PrecondConfig(**net)
+    params = precond_init(jax.random.PRNGKey(0), cfg)
+    first_conv_widening = 3 * 3 * 3 * cfg.model_channels
+    assert n_trainable(params) == 57_549_187 + first_conv_widening, \
+        n_trainable(params)

@@ -121,6 +121,12 @@ def test_cli_config_resolution():
     assert c3.network_kwargs.super_res is True
     assert c3.network_kwargs.model_channels == 64
     assert c3.batch_size == 128
+    # The preset builds the SHIPPED log-parity SR arch (PARITY.md): vanilla
+    # single-source, labels 20/20, extra_attn=1.
+    assert c3.vanilla_mode is True
+    assert c3.network_kwargs.num_sources == 1
+    assert c3.network_kwargs.target_label_dim == 20
+    assert c3.network_kwargs.extra_attn == 1
     c4 = setup_training_config(preset="vivid-base", data="/x", vanilla_mode=True)
     assert c4.network_kwargs.num_sources == 1
     assert c4.network_kwargs.target_label_dim == 20

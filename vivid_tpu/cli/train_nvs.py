@@ -24,9 +24,16 @@ config_presets = {
     "vivid-uncond": EasyDict(duration=1024 << 19, batch=1024, channels=128,
                              lr=0.0120, decay=35000, dropout=0.00, P_mean=-0.8,
                              P_std=1.6, extra_attn=1, uncond=True),
+    # The SHIPPED vivid-sr (experiments/log.txt:791: 57,549,187 params) is
+    # vanilla single-source with labels 20/20 and extra_attn=1 — NOT what the
+    # reference's live preset builds (train_nvs.py:30 leaves extra_attn unset
+    # and num_sources at 2; its CLI in fact crashes on opts.extra_attn before
+    # building anything — PARITY.md "SR architecture archaeology"). This
+    # preset builds the shipped architecture; pass explicit flags to deviate.
     "vivid-sr": EasyDict(duration=256 << 20, batch=128, channels=64, lr=0.0200,
                          decay=35000, dropout=0.00, P_mean=-0.8, P_std=1.6,
-                         noisy_sr=0.25, sr_training=True),
+                         noisy_sr=0.25, sr_training=True, extra_attn=1,
+                         vanilla_mode=True),
 }
 
 
