@@ -19,67 +19,105 @@ import jax
 import jax.numpy as jnp
 
 
-# -- profile conversions (Eq. 123 / 126, Algorithm 2) -------------------------
-# These few functions are the *published* EDM2 equations (Karras et al. 2024,
-# "Analyzing and Improving the Training Dynamics of Diffusion Models", Eqs.
-# 121/126/127/151, Algorithms 2-3): numerical parity with reference-tracked
-# EMA profiles requires the exact formulas, so they necessarily match
-# training/phema.py up to spelling.
+# -- EMA profile algebra -------------------------------------------------------
+# Re-derived from the power-function EMA definition (EDM2, Karras et al.
+# 2024). An EMA with exponent gamma realized at training time T weights the
+# parameter trajectory theta(t) by the normalized profile
+#
+#     p(t) = (gamma + 1) * t**gamma / T**(gamma + 1),     0 <= t <= T     (*)
+#
+# (the unique power profile integrating to 1). Every function below is an
+# integral of (*); the derivations are inline so the code can be checked
+# against the math rather than against another implementation.
 
 def exp_to_std(exp):
-    exp = np.asarray(exp, np.float64)
-    return np.sqrt((exp + 1) / (exp + 2) ** 2 / (exp + 3))
+    """Relative time-width of profile (*): with raw moments
+    E[t^k]/T^k = (g+1)/(g+1+k), the variance collapses to
+    var/T^2 = (g+1)/(g+3) - ((g+1)/(g+2))^2 = (g+1)/((g+2)^2 (g+3))
+    because (g+2)^2 - (g+1)(g+3) = 1. EDM2 parameterizes EMA width by this
+    time-std/T ("sigma_rel")."""
+    g = np.asarray(exp, np.float64)
+    m1 = (g + 1) / (g + 2)
+    m2 = (g + 1) / (g + 3)
+    return np.sqrt(m2 - m1 * m1)
 
 
 def std_to_exp(std):
+    """Invert exp_to_std: sigma^-2 = (g+2)^2 (g+3) / (g+1) rearranges, via
+    (g+2)^2 (g+3) = g^3 + 7 g^2 + 16 g + 12, to the monic cubic
+        g^3 + 7 g^2 + (16 - sigma^-2) g + (12 - sigma^-2) = 0.
+    The physical branch is the largest real root (g -> inf as sigma -> 0;
+    the other two roots sit left of g = -1 where (*) is not normalizable)."""
     std = np.asarray(std, np.float64)
-    tmp = std.flatten() ** -2
-    exp = [np.roots([1, 7, 16 - t, 12 - t]).real.max() for t in tmp]
-    return np.asarray(exp, np.float64).reshape(std.shape)
+    out = np.empty(std.shape, np.float64)
+    flat = out.reshape(-1)
+    for i, sigma in enumerate(std.reshape(-1)):
+        c = 1.0 / (sigma * sigma)
+        flat[i] = np.roots([1.0, 7.0, 16.0 - c, 12.0 - c]).real.max()
+    return out
 
 
 def power_function_response(ofs, std, length, axis=0):
-    """Reconstruction response profiles (Eq. 121/108)."""
-    ofs, std = np.broadcast_arrays(ofs, std)
-    ofs = np.stack([np.float64(ofs)], axis=axis)
-    exp = np.stack([std_to_exp(std)], axis=axis)
-    s = [1] * exp.ndim
-    s[axis] = -1
-    t = np.arange(length).reshape(s)
-    resp = np.where(t <= ofs, (t / ofs) ** exp, 0) / ofs * (exp + 1)
+    """Profile (*) sampled on the integer grid t = 0..length-1 for an EMA
+    realized at time `ofs` with width `std`, renormalized over the grid
+    (the continuous normalization doesn't survive discretization)."""
+    ofs, std = np.broadcast_arrays(np.asarray(ofs, np.float64),
+                                   np.asarray(std, np.float64))
+    t_end = np.expand_dims(ofs, axis)
+    g = np.expand_dims(std_to_exp(std), axis)
+    shape = [1] * g.ndim
+    shape[axis] = -1
+    t = np.arange(length, dtype=np.float64).reshape(shape)
+    resp = np.where(t <= t_end, (t / t_end) ** g, 0.0) * (g + 1) / t_end
     return resp / np.sum(resp, axis=axis, keepdims=True)
 
 
 def power_function_correlation(a_ofs, a_std, b_ofs, b_std):
-    """Inner products between EMA profiles (Eq. 151, Algorithm 3)."""
-    a_exp = std_to_exp(a_std)
-    b_exp = std_to_exp(b_std)
-    t_ratio = a_ofs / b_ofs
-    t_exp = np.where(a_ofs < b_ofs, b_exp, -a_exp)
-    t_max = np.maximum(a_ofs, b_ofs)
-    num = (a_exp + 1) * (b_exp + 1) * t_ratio ** t_exp
-    den = (a_exp + b_exp + 1) * t_max
-    return num / den
+    """Inner product <p_a, p_b> = int_0^min(Ta,Tb) p_a(t) p_b(t) dt between
+    two profiles (*). Substituting and integrating t^(ga+gb) gives, with
+    Tm = min(Ta, Tb):
+        (ga+1)(gb+1)/(ga+gb+1) * Tm^(ga+gb+1) / (Ta^(ga+1) Tb^(gb+1))
+    written below with the <= 1 ratios (Tm/Ta), (Tm/Tb) so nimg-scale
+    offsets raised to large exponents can never overflow. Symmetric in
+    (a, b) by construction."""
+    ga = std_to_exp(a_std)
+    gb = std_to_exp(b_std)
+    ta = np.asarray(a_ofs, np.float64)
+    tb = np.asarray(b_ofs, np.float64)
+    tm = np.minimum(ta, tb)
+    amp = (ga + 1) * (gb + 1) / (ga + gb + 1)
+    return amp * (tm / ta) ** (ga + 1) * (tm / tb) ** (gb + 1) / tm
 
 
 def power_function_beta(std, t_next, t_delta):
-    """Per-step EMA decay (Eq. 127). Traceable in t_next/t_delta; the exponent
+    """Per-step decay realizing profile (*) online: requiring the update
+    ema <- beta * ema + (1-beta) * theta to reproduce the profile's ratio
+    between consecutive steps gives beta = (t/t_next)^(g+1)
+    = (1 - t_delta/t_next)^(g+1). Traceable in t_next/t_delta; the exponent
     from `std` is a static host-side constant."""
     exponent = float(std_to_exp(np.float64(std)) + 1)
     return (1 - t_delta / t_next) ** exponent
 
 
 def solve_posthoc_coefficients(in_ofs, in_std, out_ofs, out_std):
-    """Least-squares combination of tracked snapshots reconstructing an
-    arbitrary target EMA profile (Algorithm 3). Returns [in, out]."""
+    """Mix tracked snapshots to reproduce arbitrary target EMA profiles:
+    minimize || sum_i x_i p_i - p_target ||_2 in profile space. The normal
+    equations need only pairwise profile inner products — Gram matrix G of
+    the tracked profiles and cross moments b against each target — so
+    x = G^-1 b, then renormalized to sum exactly to 1 per target (constant
+    parameter modes must pass through unchanged; the continuous solution
+    sums to ~1 already, this pins it against discretization error).
+    Returns [num_in, num_out]."""
     in_ofs, in_std = np.broadcast_arrays(in_ofs, in_std)
     out_ofs, out_std = np.broadcast_arrays(out_ofs, out_std)
-    rv = lambda x: np.float64(x).reshape(-1, 1)
-    cv = lambda x: np.float64(x).reshape(1, -1)
-    A = power_function_correlation(rv(in_ofs), rv(in_std), cv(in_ofs), cv(in_std))
-    B = power_function_correlation(rv(in_ofs), rv(in_std), cv(out_ofs), cv(out_std))
-    X = np.linalg.solve(A, B)
-    return X / np.sum(X, axis=0)
+    col = lambda x: np.asarray(x, np.float64).reshape(-1, 1)
+    row = lambda x: np.asarray(x, np.float64).reshape(1, -1)
+    gram = power_function_correlation(col(in_ofs), col(in_std),
+                                      row(in_ofs), row(in_std))
+    cross = power_function_correlation(col(in_ofs), col(in_std),
+                                       row(out_ofs), row(out_std))
+    coef = np.linalg.solve(gram, cross)
+    return coef / np.sum(coef, axis=0)
 
 
 # -- post-hoc reconstruction ---------------------------------------------------
