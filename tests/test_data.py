@@ -171,3 +171,44 @@ def test_per_view_scene_layout_roundtrip(tmp_path):
     for a, b in zip(r_new, r_old):
         for key in a:
             assert np.array_equal(a[key], b[key]), key
+
+
+def test_batch_loader_skip_rows_resumes_stream(dataset_dir):
+    """Deterministic resume: a fresh single-threaded loader with skip_rows=N
+    produces exactly the batches a continuous loader produces after N rows."""
+    def mk(skip):
+        ds = SceneDataset(dataset_dir, seed=3)
+        return BatchLoader(iter(ds), DualSourceCollate(imsize=32, seed=3),
+                           batch_size=4, num_threads=1, skip_rows=skip)
+
+    full = mk(0)
+    want = [next(full) for _ in range(5)][2:]  # batches 3..5 = rows 8..20
+    full.close()
+    resumed = mk(8)
+    got = [next(resumed) for _ in range(3)]
+    resumed.close()
+    for a, b in zip(want, got):
+        for key in a:
+            assert np.array_equal(a[key], b[key]), key
+
+
+def test_batch_loader_skip_rows_interpolation_midscene(dataset_dir):
+    """skip_rows landing mid-scene (interpolation mode yields several rows
+    per scene) keeps the unconsumed tail rows."""
+    def mk(skip):
+        ds = SceneDataset(dataset_dir, seed=5)
+        collate = DualSourceCollate(imsize=32, seed=5, interpolation=True,
+                                    num_targets=3, min_frame_dist=2,
+                                    max_frame_dist=6)
+        return BatchLoader(iter(ds), collate, batch_size=2, num_threads=1,
+                           skip_rows=skip)
+
+    full = mk(0)
+    want = [next(full) for _ in range(4)][2:]  # rows 4.. (skip=4 is mid-scene)
+    full.close()
+    resumed = mk(4)
+    got = [next(resumed) for _ in range(2)]
+    resumed.close()
+    for a, b in zip(want, got):
+        for key in a:
+            assert np.array_equal(a[key], b[key]), key

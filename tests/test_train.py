@@ -198,3 +198,38 @@ def test_training_loop_end_to_end_with_resume(tmp_path):
     # Resume continues from the checkpoint.
     state2 = training_loop(max_steps=1, **common)
     assert int(state2.cur_nimg) > 96 // (8 * 6) * (8 * 6) - 1
+
+
+@pytest.mark.slow
+def test_deterministic_resume_bitwise(tmp_path):
+    """--deterministic: a run killed after 2 steps and resumed for 2 more
+    ends bitwise-identical to an unkilled 4-step run. Requires the
+    single-threaded loader + sample-stream fast-forward (BatchLoader
+    skip_rows); the reference restarts its stream at resume, so killed and
+    unkilled runs diverge there."""
+    from vivid_tpu.train.loop import training_loop
+    data_dir = make_synthetic_dataset(str(tmp_path / "scenes"), num_scenes=4,
+                                      num_views=6, imsize=32)
+
+    def run(run_dir, max_steps):
+        return training_loop(
+            run_dir=str(run_dir),
+            dataset_kwargs={"path": data_dir},
+            network_kwargs=dict(img_resolution=32, **TINY),
+            loss_kwargs={"P_mean": -0.8, "P_std": 1.6},
+            lr_kwargs={"ref_lr": 1e-3, "ref_batches": 100, "rampup_Mimg": 0},
+            batch_size=8, total_nimg=10_000_000,
+            status_nimg=None, samples_nimg=None, snapshot_nimg=None,
+            checkpoint_nimg=96, debug=True, deterministic=True,
+            max_steps=max_steps)
+
+    straight = run(tmp_path / "run_a", 4)
+    run(tmp_path / "run_b", 2)        # checkpoints training-state at 96 nimg
+    resumed = run(tmp_path / "run_b", 2)
+    assert int(straight.cur_nimg) == int(resumed.cur_nimg) == 4 * 8 * 6
+    for a, b in zip(jax.tree.leaves(straight.params),
+                    jax.tree.leaves(resumed.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(straight.emas),
+                    jax.tree.leaves(resumed.emas)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -112,6 +112,7 @@ def setup_training_config(preset="vivid-base", **opts):
     c.single_image_mix = opts.get("single_image_mix") or None
     c.single_image_mix_path = opts.get("single_image_path") or None
     c.slice_nimg = opts.get("slice") or None
+    c.deterministic = bool(opts.get("deterministic"))
     return c
 
 
@@ -174,6 +175,7 @@ def launch_training(run_dir, c):
 # Performance-related options.
 @click.option("--batch-gpu", help="Limit batch size per device (gradient accumulation)", metavar="NIMG", type=parse_nimg, default=None)
 @click.option("--fsdp", help="Shard params/optimizer/EMA state over the data axis (ZeRO-3)", is_flag=True)
+@click.option("--deterministic", help="Bit-reproducible data pipeline: single-threaded batch assembly; kill+resume replays the exact sample stream", is_flag=True)
 @click.option("--bf16", help="Enable bfloat16 compute", metavar="BOOL", type=bool, default=True, show_default=True)
 @click.option("--force-wn", help="Forced weight normalization (EDM2 Eq. 66)", metavar="BOOL", type=bool, default=False, show_default=True)
 @click.option("--remat", help="Rematerialize heavy blocks in backward: true, false, or save_dots (keep conv/attn outputs, recompute elementwise)", metavar="BOOL|save_dots", type=str, default="true", show_default=True)

@@ -69,7 +69,12 @@ def _pair_geometry(scene, src_idx, tgt_idx, imsize):
 
 
 class VanillaCollate:
-    """One (source, target) pair per scene."""
+    """One (source, target) pair per scene.
+
+    `sample_plan` makes every RNG draw for a scene WITHOUT touching pixels;
+    `rows_from_scene` materializes the planned rows. The split lets a
+    deterministic-resume loader fast-forward the sampling stream (replaying
+    draws) at index-draw cost instead of image-decode cost."""
 
     num_sources = 1
     rows_per_scene = 1
@@ -80,11 +85,16 @@ class VanillaCollate:
         self.sr_size = sr_size
         self.rng = _random.Random(seed)
 
-    def rows_from_scene(self, scene) -> list:
+    def sample_plan(self, scene) -> list:
+        """View-index tuples for this scene; advances the RNG exactly as
+        rows_from_scene would."""
         n = scene["image"].shape[0]
         if n < 2:
             return []
         i1, i2 = self.rng.sample(range(n), 2)
+        return [(i1, i2)]
+
+    def _row(self, scene, i1, i2):
         row = {
             "src_image": resize_image(scene["image"][i1], self.imsize)[None],
             "tgt_image": resize_image(scene["image"][i2], self.imsize),
@@ -94,7 +104,13 @@ class VanillaCollate:
             row["sr_src_image"] = resize_image(scene["image"][i1], self.sr_size)[None]
             row["sr_tgt_image"] = resize_image(scene["image"][i2], self.sr_size)
             row["sr_geometry"] = _pair_geometry(scene, i1, i2, self.sr_size)[None].astype(np.float32)
-        return [row]
+        return row
+
+    def materialize(self, scene, plan: list) -> list:
+        return [self._row(scene, *p) for p in plan]
+
+    def rows_from_scene(self, scene) -> list:
+        return self.materialize(scene, self.sample_plan(scene))
 
 
 class DualSourceCollate:
@@ -138,7 +154,9 @@ class DualSourceCollate:
                  _pair_geometry(scene, s2, t, self.sr_size)]).astype(np.float32)
         return row
 
-    def rows_from_scene(self, scene) -> list:
+    def sample_plan(self, scene) -> list:
+        """(s1, s2, t) view-index tuples; advances the RNG exactly as
+        rows_from_scene would (see VanillaCollate.sample_plan)."""
         n = scene["image"].shape[0]
         if self.interpolation:
             if n < 8:
@@ -152,11 +170,17 @@ class DualSourceCollate:
             if (s2 - s1 - 1) < self.num_targets:
                 return []
             targets = self.rng.sample(range(s1 + 1, s2), self.num_targets)
-            return [self._row(scene, s1, s2, t) for t in targets]
+            return [(s1, s2, t) for t in targets]
         if n < 3:
             return []
         s1, s2, t = self.rng.sample(range(n), 3)
-        return [self._row(scene, s1, s2, t)]
+        return [(s1, s2, t)]
+
+    def materialize(self, scene, plan: list) -> list:
+        return [self._row(scene, *p) for p in plan]
+
+    def rows_from_scene(self, scene) -> list:
+        return self.materialize(scene, self.sample_plan(scene))
 
 
 class BatchLoader:
@@ -167,7 +191,8 @@ class BatchLoader:
     (numpy decode releases the GIL for the heavy parts)."""
 
     def __init__(self, scene_iter: Iterator, collate, batch_size: int,
-                 prefetch: int = 4, num_threads: int = None):
+                 prefetch: int = 4, num_threads: int = None,
+                 skip_rows: int = 0):
         import os
         if num_threads is None:
             num_threads = int(os.environ.get("VIVID_LOADER_THREADS",
@@ -178,6 +203,27 @@ class BatchLoader:
         self.queue = queue.Queue(maxsize=prefetch)
         self._lock = threading.Lock()
         self._stop = threading.Event()
+        self._initial_rows = []
+        if skip_rows:
+            # Deterministic resume: replay the sampling stream (RNG draws
+            # only — no pixel work) past the rows a previous run already
+            # consumed. Row->batch order is only well-defined with a single
+            # assembly thread; the deterministic pipeline always uses one.
+            assert num_threads == 1, \
+                "skip_rows needs a single-threaded (deterministic) loader"
+            skipped = 0
+            while skipped < skip_rows:
+                scene = next(self.scene_iter)
+                try:
+                    plan = self.collate.sample_plan(scene)
+                except Exception:
+                    continue
+                if skipped + len(plan) <= skip_rows:
+                    skipped += len(plan)
+                else:  # boundary mid-scene: keep the unconsumed tail rows
+                    tail = plan[skip_rows - skipped:]
+                    self._initial_rows = self.collate.materialize(scene, tail)
+                    skipped = skip_rows
         self.threads = [threading.Thread(target=self._worker, daemon=True)
                         for _ in range(num_threads)]
         for t in self.threads:
@@ -195,7 +241,7 @@ class BatchLoader:
             return []
 
     def _worker(self):
-        pending = []
+        pending, self._initial_rows = self._initial_rows, []
         while not self._stop.is_set():
             rows = self._next_rows()
             n_valid = None

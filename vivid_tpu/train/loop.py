@@ -105,6 +105,7 @@ def training_loop(
     max_steps: Optional[int] = None,
     debug: Optional[bool] = None,
     fsdp: bool = False,
+    deterministic: bool = False,
 ):
     """Train an NVS diffusion model. Interval arguments are in nimg like the
     reference; `max_steps` additionally bounds the number of optimizer steps
@@ -154,18 +155,22 @@ def training_loop(
     # from single images via homography rotations (training_loop.py:230-234).
     single_loader = None
     main_batch = per_process_batch
+    single_ds = None
     if single_image_mix:
+        assert not deterministic, \
+            "deterministic mode does not support single_image_mix yet"
         n_single = min(per_process_batch - 1,
                        max(1, int(per_process_batch * single_image_mix)))
         from vivid_tpu.data.single_images import SingleImages
         single_ds = SingleImages(single_image_mix_path or dataset_kwargs["path"],
                                  imsize=target_resolution,
                                  num_sources=num_sources, seed=seed + 2)
-        single_loader = BatchLoader(iter(single_ds), single_ds,
-                                    batch_size=n_single, prefetch=1,
-                                    num_threads=1)
         main_batch = per_process_batch - n_single
-    loader = BatchLoader(iter(dataset), collate, batch_size=main_batch)
+    # Loader construction is deferred past the resume block: in
+    # deterministic mode the resumed loader fast-forwards the sampling
+    # stream by the rows the checkpointed run already consumed, making a
+    # killed+resumed run bitwise-identical to an unkilled one (the
+    # reference's stream restarts from scratch at resume).
 
     if sr_model is not None and isinstance(sr_model, str):
         from vivid_tpu.train.snapshots import load_snapshot
@@ -244,6 +249,20 @@ def training_loop(
     dist.print0(f"Training from {int(state.cur_nimg) // 1000} kimg to "
                 f"{stop_at_nimg // 1000} kimg "
                 f"({(stop_at_nimg - int(state.cur_nimg)) // nimg_per_step} steps):")
+
+    # Data loaders (after resume so deterministic mode can fast-forward by
+    # the exact per-process rows already delivered: one main_batch per
+    # completed step — prefetched-but-unconsumed batches of a killed run
+    # never advanced cur_nimg, so they are correctly regenerated).
+    steps_prev = int(state.cur_nimg) // nimg_per_step
+    loader = BatchLoader(
+        iter(dataset), collate, batch_size=main_batch,
+        num_threads=1 if deterministic else None,
+        skip_rows=steps_prev * main_batch if deterministic else 0)
+    if single_ds is not None:
+        single_loader = BatchLoader(iter(single_ds), single_ds,
+                                    batch_size=n_single, prefetch=1,
+                                    num_threads=1)
 
     # FSDP (ZeRO-3) shards params/optimizer/EMA state over the 'data' axis;
     # default keeps the reference's DDP memory model (replicated state).
