@@ -4,6 +4,7 @@ training_loop.py:47-107, training/phema.py)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vivid_tpu.diffusion import (NVLoss, SRNVLoss, edm_sampler,
                                  learning_rate_schedule, sigma_schedule,
@@ -157,11 +158,15 @@ def test_sr_loss_shapes():
     assert loss.shape == (2, 16, 16, 3)
 
 
-def test_down_up_resize_preserves_mean():
-    x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, 3))
+def test_down_up_resize_preserves_constants():
+    """Per-row-normalized resampling weights pass constant images through
+    exactly (the DC invariant of the torchvision kernel; the global mean of
+    a non-constant image is NOT preserved — edge-clamped taps re-weight the
+    boundary, identically to torch)."""
+    x = jnp.full((1, 16, 16, 3), 0.73, jnp.float32)
     y = down_up_resize(x, 4)
     assert y.shape == x.shape
-    np.testing.assert_allclose(float(y.mean()), float(x.mean()), rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
 
 
 def test_clamp_loss():
@@ -280,3 +285,19 @@ def test_power_ema_wrapper_suffixes():
     ema2 = PowerFunctionEMA({"w": jnp.ones(3)})
     ema2.load_state_dict(state)
     np.testing.assert_allclose(np.asarray(ema2.emas[0]["w"]), np.zeros(3))
+
+
+def test_down_up_resize_matches_torchvision_chain():
+    """down_up_resize must reproduce the reference's exact conditioning
+    chain: torchvision bilinear (antialias) down by 4 then back up
+    (training_loop.py:89-93)."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+    x = np.asarray(jax.random.normal(jax.random.PRNGKey(3), (2, 64, 64, 3)),
+                   np.float32)
+    t = torch.as_tensor(x).permute(0, 3, 1, 2)
+    low = F.interpolate(t, size=(16, 16), mode="bilinear", antialias=True)
+    want = F.interpolate(low, size=(64, 64), mode="bilinear",
+                         antialias=True).permute(0, 2, 3, 1).numpy()
+    got = np.asarray(down_up_resize(jnp.asarray(x), 4))
+    np.testing.assert_allclose(got, want, atol=2e-5)

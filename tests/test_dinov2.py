@@ -138,3 +138,21 @@ def test_preprocess_jax_matches_torch():
     got = np.asarray(preprocess_jax(jnp.asarray(imgs, jnp.float32)))
     want = preprocess_torch(imgs)
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+@pytest.mark.parametrize("in_size,out_size", [(256, 64), (64, 256), (64, 64),
+                                              (224, 96), (96, 224)])
+def test_bilinear_aa_resize_matches_torch(in_size, out_size):
+    """resize_bilinear_aa vs F.interpolate(mode='bilinear', antialias=True)
+    — the reference's SR conditioning resize kernel (torchvision resize,
+    training_loop.py:89-93). Up- and downscale legs both pinned."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+    from vivid_tpu.metrics.resize_jax import resize_bilinear_aa
+    rng = np.random.default_rng(in_size + out_size)
+    x = rng.uniform(-3, 3, (2, in_size, in_size, 3)).astype(np.float32)
+    t = torch.as_tensor(x).permute(0, 3, 1, 2)
+    want = F.interpolate(t, size=(out_size, out_size), mode="bilinear",
+                         antialias=True).permute(0, 2, 3, 1).numpy()
+    got = np.asarray(resize_bilinear_aa(jnp.asarray(x), out_size, out_size))
+    np.testing.assert_allclose(got, want, atol=1e-4)  # f32 matmul vs torch f64 taps

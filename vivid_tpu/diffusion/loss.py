@@ -24,12 +24,18 @@ from vivid_tpu.nn.precond import precond_apply
 
 
 def down_up_resize(x, factor: int = 4):
-    """Low-res conditioning: box-downsample by `factor`, bilinear upsample back
-    ([B, H, W, C]). The antialiased analogue of the reference's torchvision
-    resize-down/resize-up chain (training_loop.py:89-93)."""
+    """Low-res SR conditioning ([B, H, W, C]): torchvision-bilinear down by
+    `factor`, torchvision-bilinear back up — the exact resize chain the
+    reference trains with (training_loop.py:89-93; torchvision resize
+    defaults to bilinear, antialias=True on current releases, and antialias
+    is a no-op on the upscale leg either way). Implemented as precomputed
+    separable weight-matrix matmuls (metrics/resize_jax.py, PIL-parity
+    tested) so the conditioning distribution matches a reference-trained
+    SR checkpoint's."""
     b, h, w, c = x.shape
-    low = x.reshape(b, h // factor, factor, w // factor, factor, c).mean(axis=(2, 4))
-    return jax.image.resize(low, x.shape, method="bilinear")
+    from vivid_tpu.metrics.resize_jax import resize_bilinear_aa
+    low = resize_bilinear_aa(x, h // factor, w // factor)
+    return resize_bilinear_aa(low, h, w)
 
 
 def clamp_loss(loss):

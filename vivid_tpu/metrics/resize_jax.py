@@ -59,3 +59,42 @@ def resize_bicubic_aa(x, out_h: int, out_w: int):
     ww = jnp.asarray(bicubic_aa_matrix(in_w, out_w))
     x = jnp.einsum("oh,bhwc->bowc", wh, x)
     return jnp.einsum("pw,bhwc->bhpc", ww, x)
+
+
+def _triangle(x):
+    x = np.abs(x)
+    return np.where(x < 1.0, 1.0 - x, 0.0)
+
+
+@lru_cache(maxsize=None)
+def bilinear_aa_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """[out, in] float32 weight matrix of PIL/torch-aa BILINEAR resampling
+    along one axis: triangle filter, support 1 scaled by the downscale
+    factor, edge-clamped taps, per-row normalized. For upscales the filter
+    scale is 1, so this degenerates to classic bilinear interpolation —
+    matching torch, where antialias only changes downscales."""
+    scale = in_size / out_size
+    filterscale = max(scale, 1.0)
+    support = 1.0 * filterscale
+    w = np.zeros((out_size, in_size), np.float64)
+    for i in range(out_size):
+        center = (i + 0.5) * scale
+        xmin = max(int(center - support + 0.5), 0)
+        xmax = min(int(center + support + 0.5), in_size)
+        taps = np.arange(xmin, xmax, dtype=np.float64)
+        ww = _triangle((taps - center + 0.5) / filterscale)
+        w[i, xmin:xmax] = ww / ww.sum()
+    return w.astype(np.float32)
+
+
+def resize_bilinear_aa(x, out_h: int, out_w: int):
+    """NHWC resized with torchvision's antialiased bilinear semantics
+    (the reference's training_loop.py:89-93 SR conditioning resize).
+    Jit-safe; weight matrices are trace-time constants."""
+    in_h, in_w = x.shape[1], x.shape[2]
+    if (in_h, in_w) == (out_h, out_w):
+        return x
+    wh = jnp.asarray(bilinear_aa_matrix(in_h, out_h), x.dtype)
+    ww = jnp.asarray(bilinear_aa_matrix(in_w, out_w), x.dtype)
+    x = jnp.einsum("oh,bhwc->bowc", wh, x)
+    return jnp.einsum("pw,bhwc->bhpc", ww, x)
