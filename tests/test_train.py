@@ -233,3 +233,49 @@ def test_deterministic_resume_bitwise(tmp_path):
     for a, b in zip(jax.tree.leaves(straight.emas),
                     jax.tree.leaves(resumed.emas)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_hires_conv_checkpoint_name_tagging():
+    """Conv outputs above REMAT_HIRES_AREA carry the mpconv_out_hires name
+    (dropped by the save_dots policy -> recomputed in backward); smaller
+    ones keep mpconv_out (saved)."""
+    from vivid_tpu.nn.mp import mp_conv_init, mp_conv_apply
+    w = mp_conv_init(jax.random.PRNGKey(0), 4, 4, kernel=(3, 3))
+    big = jnp.zeros((1, 192, 192, 4))
+    small = jnp.zeros((1, 64, 64, 4))
+    assert "mpconv_out_hires" in str(jax.make_jaxpr(
+        lambda x: mp_conv_apply(w, x))(big))
+    jx = str(jax.make_jaxpr(lambda x: mp_conv_apply(w, x))(small))
+    assert "mpconv_out" in jx and "mpconv_out_hires" not in jx
+
+
+@pytest.mark.slow
+def test_save_dots_remat_matches_full_remat_hires():
+    """save_dots at SR-class resolution (conv outputs > REMAT_HIRES_AREA,
+    tagged hires and recomputed): still a scheduling-only change — grads
+    must match remat=True."""
+    from vivid_tpu.diffusion.loss import SRNVLoss
+    loss = SRNVLoss(P_mean=-0.8, P_std=1.6)
+    key = jax.random.PRNGKey(1)
+    batch = {
+        "src": jax.random.normal(key, (1, 1, 160, 160, 3)),
+        "tgt": jax.random.normal(jax.random.fold_in(key, 1), (1, 160, 160, 3)),
+        "geometry": jax.random.normal(jax.random.fold_in(key, 2), (1, 1, 20)),
+    }
+    tiny_sr = dict(model_channels=16, channel_mult=(1, 2), num_blocks=1,
+                   attn_resolutions=(), channels_per_head=8, use_bf16=False)
+    grads = {}
+    for remat in (True, "save_dots"):
+        cfg = PrecondConfig(img_resolution=160, num_sources=1,
+                            source_label_dim=20, target_label_dim=20,
+                            super_res=True, noisy_sr=0.25,
+                            **{**tiny_sr, "remat": remat})
+        params = precond_init(jax.random.PRNGKey(0), cfg)
+        fn = lambda p: jnp.mean(loss(p, cfg, jax.random.PRNGKey(3),
+                                     batch["src"], batch["tgt"],
+                                     batch["geometry"], train=True))
+        grads[remat] = jax.jit(jax.grad(fn))(params)
+    for a, b in zip(jax.tree.leaves(grads[True]),
+                    jax.tree.leaves(grads["save_dots"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

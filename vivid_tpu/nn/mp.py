@@ -120,6 +120,14 @@ def _normalized_weight(w, gain):
     return w32 * (gain / math.sqrt(fan_in))
 
 
+# Conv outputs with spatial area above this are tagged "mpconv_out_hires":
+# the save_dots remat policy keeps regular conv/attention outputs but DROPS
+# hires ones (recomputed in backward). At SR resolution the 256px level-0
+# activations dominate residency ([B,256,256,64] per conv across the stack
+# — save_dots used to OOM 16GB HBM there); everything at <=128px is kept.
+REMAT_HIRES_AREA = 128 * 128
+
+
 def mp_conv_apply(params, x, gain=1.0):
     """Linear ([..., cin] @ [cin, cout]) or same-padded conv2d
     ([B,H,W,cin] * [kh,kw,cin,cout]); weight normalization in fp32, compute in
@@ -132,15 +140,18 @@ def mp_conv_apply(params, x, gain=1.0):
     assert w.ndim == 4
     pad_h = w.shape[0] // 2
     pad_w = w.shape[1] // 2
-    # The "mpconv_out" checkpoint name drives the selective remat policy
-    # (UNetConfig.remat="save_dots"): keep conv/linear outputs, recompute the
-    # cheap elementwise chains in the backward pass.
+    # The "mpconv_out"/"mpconv_out_hires" checkpoint names drive the
+    # selective remat policy (UNetConfig.remat="save_dots"): keep conv/linear
+    # outputs (except hires ones, see REMAT_HIRES_AREA), recompute the cheap
+    # elementwise chains in the backward pass.
+    name = ("mpconv_out_hires"
+            if x.shape[1] * x.shape[2] > REMAT_HIRES_AREA else "mpconv_out")
     return checkpoint_name(jax.lax.conv_general_dilated(
         x, w,
         window_strides=(1, 1),
         padding=((pad_h, pad_h), (pad_w, pad_w)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    ), "mpconv_out")
+    ), name)
 
 
 def mp_conv_apply_wpacked(params, xp, gain=1.0):
@@ -160,10 +171,13 @@ def mp_conv_apply_wpacked(params, xp, gain=1.0):
     wp = (pack_conv_weight(w) if w.shape[0] == 3
           else pack_conv_weight_1x1(w))
     pad = ((wp.shape[0] // 2,) * 2, (wp.shape[1] // 2,) * 2)
+    name = ("mpconv_out_hires"  # unpacked area (W is halved by packing)
+            if xp.shape[1] * xp.shape[2] * 2 > REMAT_HIRES_AREA
+            else "mpconv_out")
     return checkpoint_name(jax.lax.conv_general_dilated(
         xp, wp, window_strides=(1, 1), padding=pad,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    ), "mpconv_out")
+    ), name)
 
 
 def force_weight_normalize(params):

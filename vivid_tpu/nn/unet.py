@@ -236,7 +236,11 @@ def compute_emb(params, cfg: UNetConfig, noise_labels, geometry):
 def _remat_wrap(fn, remat):
     """remat: False | True (full recompute) | "save_dots" (keep conv/attn
     outputs — the "mpconv_out"/"attn_out" checkpoint names — and recompute
-    only the cheap elementwise chains in the backward)."""
+    only the cheap elementwise chains in the backward). Conv outputs larger
+    than REMAT_HIRES_AREA (nn/mp.py) carry the "mpconv_out_hires" name and
+    are deliberately NOT in the save list: at SR resolution the 256px
+    level-0 activations are what used to OOM save_dots, while the FLOPs to
+    recompute them are the cheapest per byte in the model."""
     if not remat:
         return fn
     if remat == "save_dots":
