@@ -7,6 +7,9 @@ LOG=/tmp/r3i_logs
 mkdir -p "$LOG"
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
+# Serialization handle for follower scripts (round3j waits on this PID).
+echo $$ > /tmp/r3i_chain.pid
+trap 'rm -f /tmp/r3i_chain.pid' EXIT
 
 timeout 1200 python bench.py > "$LOG/bench.log" 2>&1
 
