@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--sr", action="store_true",
                     help="SR config: 256px ch=64 super_res + SRNVLoss "
                     "(reference vivid-sr preset shapes)")
+    ap.add_argument("--batch-gpu", type=int, default=None,
+                    help="per-device microbatch; smaller than --batch runs "
+                    "gradient accumulation (reference batch_gpu_total math, "
+                    "training_loop.py:213-217)")
     ap.add_argument("--no-wpack", action="store_true",
                     help="force width-packed level-0 convs OFF (ablation)")
     ap.add_argument("--wpack", action="store_true",
@@ -72,7 +76,14 @@ def main():
     params = precond_init(jax.random.PRNGKey(0), cfg)
     n = sum(int(x.size) for x in jax.tree.leaves(params))
     b = args.batch
-    tcfg = TrainConfig(batch_size=b, ref_lr=1e-3, rampup_Mimg=0, nimg_mult=6)
+    num_accum = 1
+    if args.batch_gpu and args.batch_gpu < b:
+        assert b % args.batch_gpu == 0, (b, args.batch_gpu)
+        num_accum = b // args.batch_gpu
+    # nimg accounting: x6 only in dual-source mode (the SR preset is vanilla).
+    nimg_mult = 1 if args.sr else 6
+    tcfg = TrainConfig(batch_size=b, ref_lr=1e-3, rampup_Mimg=0,
+                       nimg_mult=nimg_mult, num_accum=num_accum)
     exps = tuple(float(std_to_exp(s) + 1) for s in tcfg.ema_stds)
     loss_cls = SRNVLoss if args.sr else NVLoss
     step = jax.jit(make_train_step(loss_cls(P_mean=-0.8, P_std=1.6), cfg,
@@ -84,6 +95,10 @@ def main():
     batch = {"src": jax.random.normal(key, (b, ns, res, res, 3)),
              "tgt": jax.random.normal(jax.random.fold_in(key, 1), (b, res, res, 3)),
              "geometry": jax.random.normal(jax.random.fold_in(key, 2), (b, ns, 20))}
+    if num_accum > 1:  # [B, ...] -> [rounds, B/rounds, ...] like the trainer
+        batch = jax.tree.map(
+            lambda x: x.reshape((num_accum, x.shape[0] // num_accum)
+                                + x.shape[1:]), batch)
 
     t0 = time.perf_counter()
     state, st = step(state, batch, jax.random.PRNGKey(2))
@@ -104,11 +119,12 @@ def main():
     t1 = min(chain(3) for _ in range(2))
     t2 = min(chain(13) for _ in range(2))
     dt = (t2 - t1) / 10
+    accum_note = f" accum={num_accum}x{args.batch_gpu}" if num_accum > 1 else ""
     print(f"train step{' SR' if args.sr else ''} "
-          f"ch={kw['model_channels']} b={b} "
+          f"ch={kw['model_channels']} b={b}{accum_note} "
           f"remat={remat} ({n / 1e6:.1f}M params): "
-          f"{dt * 1e3:.1f} ms = {b * 6 / dt:.0f} nimg/s "
-          f"({b / dt:.0f} pairs/s)", flush=True)
+          f"{dt * 1e3:.1f} ms = {b * nimg_mult / dt:.0f} nimg/s "
+          f"({b / dt:.0f} rows/s)", flush=True)
 
 
 if __name__ == "__main__":

@@ -29,7 +29,8 @@ enable_persistent_compilation_cache()
 
 
 def hlo_source_map(compiled):
-    """HLO op name -> (shape, source_file:line) from the compiled module."""
+    """HLO op name -> (shape, source_file:line, op_name metadata) from the
+    compiled module."""
     out = {}
     for line in compiled.as_text().splitlines():
         ls = line.strip().lstrip("%")
@@ -41,8 +42,38 @@ def hlo_source_map(compiled):
         m = re.search(r'source_file="([^"]+)"[^}]*?source_line=(\d+)', ls)
         if m:
             src = f"{os.path.basename(m.group(1))}:{m.group(2)}"
-        out[name] = (shape, src)
+        m = re.search(r'op_name="([^"]*)"', ls)
+        op_name = m.group(1) if m else ""
+        out[name] = (shape, src, op_name)
     return out
+
+
+def _shape_dims(shape: str):
+    """HLO shape string 'bf16[32,64,64,64]{...}' -> [32, 64, 64, 64]."""
+    m = re.search(r"\[([\d,]*)\]", shape)
+    if not m or not m.group(1):
+        return []
+    return [int(x) for x in m.group(1).split(",")]
+
+
+def classify_train_op(name, shape, src, op_name):
+    """Train-pass attribution for one HLO op: forward conv vs backward
+    dgrad/wgrad conv vs attention vs other. Backward ops carry 'transpose('
+    in jax's op_name metadata; wgrad convs are the ones whose OUTPUT is
+    weight-shaped ([kh, kw, cin, cout] — first two dims are kernel-sized,
+    activation outputs carry batch/spatial there)."""
+    is_attn = ("flash" in name or "attention" in src or "flash" in src
+               or "blocks.py" in src and "attn" in op_name)
+    if name.startswith("convolution") or "conv_general" in op_name:
+        if "transpose(" in op_name:
+            dims = _shape_dims(shape)
+            if len(dims) == 4 and dims[0] <= 7 and dims[1] <= 7:
+                return "conv wgrad"
+            return "conv dgrad"
+        return "conv fwd (incl. remat recompute)"
+    if is_attn or name.startswith("custom-call"):
+        return "attention (kernels + composite)"
+    return "other (elementwise/copy/reduce/opt)"
 
 
 def capture(fn, args, iters=8, outdir="/tmp/vivid_trace"):
@@ -59,7 +90,7 @@ def capture(fn, args, iters=8, outdir="/tmp/vivid_trace"):
     return traces[-1]
 
 
-def analyze(path, iters, top=40, srcmap=None):
+def analyze(path, iters, top=40, srcmap=None, train_attrib=False):
     d = json.load(gzip.open(path))
     ev = d["traceEvents"]
     tpu_pids = {e["pid"] for e in ev
@@ -68,6 +99,7 @@ def analyze(path, iters, top=40, srcmap=None):
     per_op = collections.Counter()
     per_cat = collections.Counter()
     per_src = collections.Counter()
+    per_class = collections.Counter()
     total = 0.0
     for e in ev:
         if e.get("ph") == "X" and e.get("pid") in tpu_pids and "dur" in e:
@@ -86,10 +118,26 @@ def analyze(path, iters, top=40, srcmap=None):
             cat = re.split(r"[.\d]", name, 1)[0]
             per_cat[cat] += e["dur"]
             if srcmap:
-                _, src = srcmap.get(name, ("", "?"))
-                per_src[src or "?"] += e["dur"]
+                info = srcmap.get(name, ("", "?", ""))
+                per_src[info[1] or "?"] += e["dur"]
+                if train_attrib:
+                    shape, src, op_name = info
+                    per_class[classify_train_op(name, shape, src,
+                                                op_name)] += e["dur"]
     print(f"\nTPU device time: {total / 1e3 / iters:.3f} ms/iter "
           f"({total / 1e3:.1f} ms over {iters})")
+    if per_class:
+        # fwd/dgrad/wgrad convs each do ~the same MACs, so TIME ratios read
+        # directly as relative efficiency (wgrad 2x fwd time = wgrad runs at
+        # half the fwd conv TF/s).
+        print("\ntrain-pass attribution:")
+        fwd_t = per_class.get("conv fwd (incl. remat recompute)", 0.0)
+        for cls, dur in per_class.most_common():
+            ratio = f"  ({dur / fwd_t:.2f}x fwd-conv time)" \
+                if fwd_t and cls.startswith("conv ") \
+                and not cls.startswith("conv fwd") else ""
+            print(f"  {dur / total * 100:5.1f}%  {dur / 1e3 / iters:8.3f} ms"
+                  f"  {cls}{ratio}")
     print("\nby opcode family:")
     for name, dur in per_cat.most_common(20):
         print(f"  {dur / total * 100:5.1f}%  {dur / 1e3 / iters:8.3f} ms  {name}")
@@ -102,7 +150,7 @@ def analyze(path, iters, top=40, srcmap=None):
     for name, dur in per_op.most_common(top):
         extra = ""
         if srcmap and name in srcmap:
-            shape, src = srcmap[name]
+            shape, src = srcmap[name][:2]
             extra = f"  {shape[:40]} {src}"
         print(f"  {dur / total * 100:5.1f}%  {dur / 1e3 / iters:8.3f} ms  "
               f"{name[:60]}{extra}")
@@ -210,7 +258,8 @@ def main():
         path = capture(fwd, (params, src, dst, sigma, geometry),
                        iters=args.iters)
     print("trace:", path)
-    analyze(path, args.iters, srcmap=srcmap)
+    analyze(path, args.iters, srcmap=srcmap,
+            train_attrib=(args.what == "train"))
 
 
 if __name__ == "__main__":
