@@ -507,6 +507,17 @@ def training_loop(
                     loader_wait[1] / max(tick_time, 1e-9))
                 loader_wait[0] = 0.0
                 loader_wait[1] = 0
+                # Resource telemetry (reference training_loop.py:352-354).
+                import resource
+                stats_mod.report0(
+                    "Resources/cpu_mem_gb",
+                    resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 2**20)
+                mem = jax.local_devices()[0].memory_stats()
+                if mem:  # None through proxy backends (e.g. the axon tunnel)
+                    stats_mod.report0("Resources/peak_hbm_gb",
+                                      mem.get("peak_bytes_in_use", 0) / 2**30)
+                    stats_mod.report0("Resources/hbm_gb",
+                                      mem.get("bytes_in_use", 0) / 2**30)
                 stats_mod.default_collector.update()
                 snap = stats_mod.default_collector.as_dict()
                 loss_val = snap.get("Loss/loss", EasyDict(mean=float("nan"))).mean
