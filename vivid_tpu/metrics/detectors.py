@@ -89,11 +89,23 @@ class JaxInceptionDetector(Detector):
 
     def __init__(self):
         super().__init__(feature_dim=2048)
-        from vivid_tpu.metrics.inception_jax import (inception_features,
+        from vivid_tpu.metrics.inception_jax import (init_params,
+                                                     inception_features,
                                                      params_from_torch_module)
-        torch_side = InceptionV3Detector()  # raises clearly if weights absent
-        self.params = params_from_torch_module(torch_side.model)
-        del torch_side
+        if os.environ.get("VIVID_ALLOW_RANDOM_DETECTOR"):
+            # Pipeline/throughput validation where the NVIDIA pickle is
+            # unavailable (no-egress hosts): the full JAX graph with random
+            # weights. Feature VALUES are meaningless — FID numbers from
+            # this mode are plumbing checks, never quality metrics.
+            import warnings
+            warnings.warn("VIVID_ALLOW_RANDOM_DETECTOR: InceptionV3 running "
+                          "with RANDOM weights; FID values are meaningless")
+            import jax as _jax
+            self.params = init_params(_jax.random.PRNGKey(0))
+        else:
+            torch_side = InceptionV3Detector()  # raises clearly if absent
+            self.params = params_from_torch_module(torch_side.model)
+            del torch_side
         self._features = inception_features
 
     def __call__(self, x):
