@@ -100,6 +100,15 @@ def latest_checkpoint(run_dir: str) -> Optional[str]:
         return None
     best, best_idx = None, -1
     for fname in os.listdir(run_dir):
+        if fname.endswith(".pt.tmp"):
+            # Torn write from a kill during a checkpoint save (the atomic
+            # tmp+rename scheme means it was never visible as a checkpoint);
+            # reclaim the space at resume time.
+            try:
+                os.remove(os.path.join(run_dir, fname))
+            except OSError:
+                pass
+            continue
         m = _STATE_RE.fullmatch(fname)
         if m and int(m.group(1)) > best_idx:
             best, best_idx = os.path.join(run_dir, fname), int(m.group(1))
