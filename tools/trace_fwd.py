@@ -57,19 +57,20 @@ def _shape_dims(shape: str):
 
 
 def classify_train_op(name, shape, src, op_name):
-    """Train-pass attribution for one HLO op: forward conv vs backward
-    dgrad/wgrad conv vs attention vs other. Backward ops carry 'transpose('
-    in jax's op_name metadata; wgrad convs are the ones whose OUTPUT is
-    weight-shaped ([kh, kw, cin, cout] — first two dims are kernel-sized,
-    activation outputs carry batch/spatial there)."""
+    """Train-pass attribution for one HLO op: forward conv vs backward conv
+    vs attention vs other. Backward ops carry 'transpose(' in jax's op_name
+    metadata. dgrad and wgrad are NOT split: on TPU both lower into fusions
+    whose root metadata/output shape is frequently a tuple led by an
+    activation (the flagship trace had ~0 events with weight-shaped leading
+    outputs while the transpose-conv class came out at exactly 2.02x the
+    fwd-conv time = 2x the FLOPs at parity efficiency), so a shape split
+    would mislabel; the combined class is what the equal-MACs efficiency
+    argument needs anyway."""
     is_attn = ("flash" in name or "attention" in src or "flash" in src
                or "blocks.py" in src and "attn" in op_name)
     if name.startswith("convolution") or "conv_general" in op_name:
         if "transpose(" in op_name:
-            dims = _shape_dims(shape)
-            if len(dims) == 4 and dims[0] <= 7 and dims[1] <= 7:
-                return "conv wgrad"
-            return "conv dgrad"
+            return "conv bwd (dgrad+wgrad)"
         return "conv fwd (incl. remat recompute)"
     if is_attn or name.startswith("custom-call"):
         return "attention (kernels + composite)"
