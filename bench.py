@@ -141,6 +141,7 @@ def main():
             "latency_ms": round(dt * 1e3, 2),
             "gflops_per_fwd": round(flops / 1e9, 1),
             "platform": jax.devices()[0].platform,
+            "baseline": "A40 1.70 TFLOP/s measured (reference visualize.json)",
             "guided_sampler_img_per_s": (round(sampler_img_s, 2)
                                          if sampler_img_s else None),
             **({"note": note} if note else {}),

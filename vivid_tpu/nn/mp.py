@@ -134,7 +134,11 @@ def mp_conv_apply(params, x, gain=1.0):
     x.dtype."""
     from jax.ad_checkpoint import checkpoint_name
     w = _normalized_weight(params["w"], gain)
-    w = w.astype(x.dtype)
+    # Tag the (cast) normalized weight so the save_dots policy can keep it:
+    # under remat every block otherwise re-normalizes its weights in the
+    # backward (fp32 reductions + rescale over the whole param set — ~3-6 ms
+    # per flagship step). Residency cost is one bf16 copy of the params.
+    w = checkpoint_name(w.astype(x.dtype), "wnorm")
     if w.ndim == 2:
         return checkpoint_name(x @ w, "mpconv_out")
     assert w.ndim == 4

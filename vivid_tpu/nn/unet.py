@@ -19,6 +19,7 @@ Variants:
 Dual-source is an explicit pair axis: features are [B, n_src, h, w, c].
 """
 
+import os
 from dataclasses import dataclass, replace
 from functools import partial
 from typing import Dict, List, Optional, Tuple
@@ -244,8 +245,13 @@ def _remat_wrap(fn, remat):
     if not remat:
         return fn
     if remat == "save_dots":
-        policy = jax.checkpoint_policies.save_only_these_names(
-            "mpconv_out", "attn_out")
+        # "wnorm" keeps the per-conv normalized weights (one extra bf16 copy
+        # of the params in residuals) so the backward recompute skips the
+        # fp32 weight re-normalization. VIVID_NO_SAVE_WNORM=1 drops it (A/B).
+        names = ["mpconv_out", "attn_out"]
+        if not os.environ.get("VIVID_NO_SAVE_WNORM"):
+            names.append("wnorm")
+        policy = jax.checkpoint_policies.save_only_these_names(*names)
         return jax.checkpoint(fn, policy=policy)
     return jax.checkpoint(fn)
 
