@@ -56,25 +56,35 @@ def _shape_dims(shape: str):
     return [int(x) for x in m.group(1).split(",")]
 
 
-def classify_train_op(name, shape, src, op_name):
-    """Train-pass attribution for one HLO op: forward conv vs backward conv
-    vs attention vs other. Backward ops carry 'transpose(' in jax's op_name
-    metadata. dgrad and wgrad are NOT split: on TPU both lower into fusions
-    whose root metadata/output shape is frequently a tuple led by an
-    activation (the flagship trace had ~0 events with weight-shaped leading
-    outputs while the transpose-conv class came out at exactly 2.02x the
-    fwd-conv time = 2x the FLOPs at parity efficiency), so a shape split
-    would mislabel; the combined class is what the equal-MACs efficiency
-    argument needs anyway."""
-    is_attn = ("flash" in name or "attention" in src or "flash" in src
-               or "blocks.py" in src and "attn" in op_name)
-    if name.startswith("convolution") or "conv_general" in op_name:
-        if "transpose(" in op_name:
-            return "conv bwd (dgrad+wgrad)"
+def classify_train_op(name, args, src, op_name):
+    """Train-pass attribution for one HLO op, from the trace event's own
+    metadata (args['hlo_category'] / args['tf_op']) — NOT from the HLO op
+    NAME, which lies: XLA names ops after arbitrary fused sub-ops, so the
+    Pallas attention-backward custom calls show up named 'checkpoint.N' and
+    conv-dgrad fusions named 'multiply_reduce_fusion.N' (a first version of
+    this classifier binned ~50 ms/step of both into 'other'). Backward ops
+    carry 'transpose(' in the tf_op path. dgrad and wgrad are NOT split: on
+    TPU both lower into fusions whose root metadata/output shape is
+    frequently a tuple led by an activation, so a shape split would
+    mislabel; the combined class is what the equal-MACs efficiency argument
+    needs anyway."""
+    hc = args.get("hlo_category", "")
+    tf = args.get("tf_op", "") or op_name
+    if "pallas_call" in tf or (hc == "custom-call"
+                               and "tpu_custom_call" in args.get("long_name", "")):
+        return ("attention kernel bwd" if "transpose(" in tf
+                else "attention kernel fwd (incl. remat recompute)")
+    if "convolution" in hc or name.startswith("convolution") \
+            or "conv_general" in tf:
+        if "transpose(" in tf:
+            return "conv bwd (dgrad+wgrad; incl. fused epilogue reduces)"
         return "conv fwd (incl. remat recompute)"
-    if is_attn or name.startswith("custom-call"):
-        return "attention (kernels + composite)"
-    return "other (elementwise/copy/reduce/opt)"
+    if "flash" in name or "attention" in src or "flash" in src:
+        return "attention (composite/XLA)"
+    if hc in ("copy-done", "copy-start", "data formatting", "async-done",
+              "async-start") or name.startswith(("copy", "slice-done")):
+        return "copy/layout"
+    return "other (elementwise/reduce/opt)"
 
 
 def capture(fn, args, iters=8, outdir="/tmp/vivid_trace"):
@@ -118,13 +128,13 @@ def analyze(path, iters, top=40, srcmap=None, train_attrib=False):
             # Category = opcode-ish prefix of the HLO name.
             cat = re.split(r"[.\d]", name, 1)[0]
             per_cat[cat] += e["dur"]
+            info = srcmap.get(name, ("", "?", "")) if srcmap else ("", "?", "")
             if srcmap:
-                info = srcmap.get(name, ("", "?", ""))
                 per_src[info[1] or "?"] += e["dur"]
-                if train_attrib:
-                    shape, src, op_name = info
-                    per_class[classify_train_op(name, shape, src,
-                                                op_name)] += e["dur"]
+            if train_attrib:
+                _, src, op_name = info
+                per_class[classify_train_op(name, e.get("args", {}), src,
+                                            op_name)] += e["dur"]
     print(f"\nTPU device time: {total / 1e3 / iters:.3f} ms/iter "
           f"({total / 1e3:.1f} ms over {iters})")
     if per_class:
@@ -174,7 +184,7 @@ def main():
                     help="remat mode for --what train (default: true)")
     args = ap.parse_args()
     if args.trace:
-        analyze(args.trace, args.iters)
+        analyze(args.trace, args.iters, train_attrib=True)
         return
 
     from vivid_tpu.nn.precond import PrecondConfig, precond_apply, precond_init
