@@ -477,27 +477,33 @@ def _kernel_packed_bwd_common(x_ref, f_refs, b_refs, g_ref, dx_ref, df_refs,
             # Chunk loads come from the REF with pl.ds — lax.dynamic_slice
             # on a materialized value has no Mosaic TPU lowering.
             q_raw = x_ref[0, pl.ds(q0, cq), h * d:(h + 1) * d]
-            qh = _rms_norm(q_raw, norm_eps)
+            # Scale folded into the q tile (like the forward kernels): the
+            # per-segment [cq, Sk] logit multiply disappears. dk inherits
+            # the scale through qh; dq keeps one explicit [cq, d] multiply.
+            qh = _rms_norm(q_raw, norm_eps, out_scale=sm_scale)
             dO = g_ref[0, pl.ds(q0, cq), h * d:(h + 1) * d].astype(
                 jnp.float32)
             logits = []
             for j, kh in enumerate(khs):
                 s_ = jax.lax.dot_general(
                     qh, kh, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32) * sm_scale
+                    preferred_element_type=jnp.float32)
                 if 1 <= j <= len(b_refs):  # cross segment j-1 carries a bias
                     s_ = s_ + b_refs[j - 1][0, h, pl.ds(q0, cq)].astype(
                         jnp.float32)
                 logits.append(s_)
             if no_max:
-                # Constant-shift softmax recompute (see _kernel_packed):
-                # exact under the in-kernel-norm logit bound; saves the
-                # rowmax reduces. Only taken when no bias segment exists.
-                shift = d * sm_scale
-                ps = [jnp.exp(s_ - shift) for s_ in logits]
+                # Shiftless softmax recompute: the in-kernel RMS norm bounds
+                # every scaled logit by sqrt(d), so exp(s) <= e^sqrt(d)
+                # (~3e3 at d=64) cannot overflow, and softmax is
+                # shift-invariant — both the rowmax reduces AND the
+                # [cq, Sk] shift subtract vanish. Zero-sink columns carry
+                # logit 0 -> mass exactly zero_sink. Only taken when no
+                # bias segment exists (a learned bias breaks the bound).
+                ps = [jnp.exp(s_) for s_ in logits]
                 l = sum(p.sum(axis=-1, keepdims=True) for p in ps)
                 if zero_sink:
-                    l = l + zero_sink * math.exp(-shift)
+                    l = l + float(zero_sink)
             else:
                 m = logits[0].max(axis=-1, keepdims=True)
                 for s_ in logits[1:]:
@@ -508,14 +514,22 @@ def _kernel_packed_bwd_common(x_ref, f_refs, b_refs, g_ref, dx_ref, df_refs,
                 l = sum(p.sum(axis=-1, keepdims=True) for p in ps)
                 if zero_sink:
                     l = l + zero_sink * jnp.exp(-m)
-            pts = [p / l for p in ps]                    # fp32 [cq, Sk_i]
-            dO16 = dO.astype(dt)
-            dpts = [jax.lax.dot_general(dO16, vh, (((1,), (1,)), ((), ())),
+            # The [cq, Sk] probability divisions are eliminated by folding
+            # 1/l into dO (and the rho correction): with pt := p/l,
+            #   dv  = pt^T dO        = p^T (dO/l)
+            #   dpt = dO v'^T        ->  dpt' := (dO/l) v'^T = dpt/l
+            #   rho = rowsum(pt.dpt) = rowsum(p.dpt')
+            #   dS  = pt (dpt - rho) = p (dpt' - rho/l)
+            # — two cheap [cq, 1]/[cq, d] scalings replace per-segment
+            # [cq, Sk] divides.
+            rinv = 1.0 / l                                   # [cq, 1]
+            gl16 = (dO * rinv).astype(dt)
+            dpts = [jax.lax.dot_general(gl16, vh, (((1,), (1,)), ((), ())),
                                         preferred_element_type=jnp.float32)
                     for vh in vhs]
-            rho = sum(jnp.sum(pt * dpt, axis=-1, keepdims=True)
-                      for pt, dpt in zip(pts, dpts))
-            dss = [pt * (dpt - rho) for pt, dpt in zip(pts, dpts)]
+            rho_l = sum(jnp.sum(p * dpt, axis=-1, keepdims=True)
+                        for p, dpt in zip(ps, dpts)) * rinv   # = rho/l
+            dss = [p * (dpt - rho_l) for p, dpt in zip(ps, dpts)]
             dq_hat = sum(
                 jax.lax.dot(ds.astype(dt), kh,
                             preferred_element_type=jnp.float32)
@@ -529,12 +543,12 @@ def _kernel_packed_bwd_common(x_ref, f_refs, b_refs, g_ref, dx_ref, df_refs,
                 dkh + jax.lax.dot_general(ds.astype(dt), qh,
                                           (((0,), (0,)), ((), ())),
                                           preferred_element_type=jnp.float32)
-                * sm_scale for dkh, ds in zip(dk_hats, dss))
+                for dkh, ds in zip(dk_hats, dss))
             dv_hats = tuple(
-                dvh + jax.lax.dot_general(pt.astype(dt), dO16,
+                dvh + jax.lax.dot_general(p.astype(dt), gl16,
                                           (((0,), (0,)), ((), ())),
                                           preferred_element_type=jnp.float32)
-                for dvh, pt in zip(dv_hats, pts))
+                for dvh, p in zip(dv_hats, ps))
             return dk_hats, dv_hats
 
         init = (tuple(jnp.zeros((kr.shape[0], d), jnp.float32)
