@@ -33,7 +33,6 @@ out [B, H, Sq, D] in v.dtype.
 """
 
 import functools
-import math
 from typing import Optional
 
 import jax
@@ -189,22 +188,22 @@ def _kernel_packed(x_ref, o_ref, *, H: int, d: int, cq: int, sm_scale: float,
             # Chunk loads come from the REF with pl.ds — lax.dynamic_slice
             # on a materialized value has no Mosaic TPU lowering.
             if no_max:
-                # Constant-shift softmax (see flash_nomax): the in-kernel
-                # RMS norm bounds every row by sqrt(d), so scaled logits
-                # are bounded by sqrt(d) and exp(s - sqrt(d)) cannot
-                # overflow — the rowmax pass and the [cq, S] scale
-                # multiply (folded into q here) are unnecessary. Exact.
+                # Shiftless softmax (see flash_nomax): the in-kernel RMS
+                # norm bounds every row by sqrt(d), so scaled logits are
+                # bounded by sqrt(d) and exp(s) <= e^sqrt(d) (~3e3 at d=64)
+                # cannot overflow; softmax is shift-invariant, so the
+                # rowmax pass, the [cq, S] scale multiply (folded into q
+                # here) AND the shift subtract are all unnecessary. Exact.
                 q = _rms_norm(x_ref[0, pl.ds(q0, cq), h * d:(h + 1) * d],
                               norm_eps, out_scale=sm_scale)
                 s = jax.lax.dot_general(
                     q, k, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                shift = d * sm_scale  # = sqrt(d) at the default sm_scale
-                p = jnp.exp(s - shift)
+                p = jnp.exp(s)
                 l = jnp.sum(p, axis=-1, keepdims=True)
                 if zero_sink:
-                    # zero-sink columns carry logit 0: mass zs * exp(-C).
-                    l = l + zero_sink * math.exp(-shift)
+                    # zero-sink columns carry logit 0: mass exactly zs.
+                    l = l + float(zero_sink)
             else:
                 q = _rms_norm(x_ref[0, pl.ds(q0, cq), h * d:(h + 1) * d],
                               norm_eps)
@@ -316,7 +315,7 @@ def _kernel_packed_xattn(x_ref, *rest, H: int, d: int, cq: int, n_src: int,
                 logits = [jax.lax.dot_general(
                     q, k, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32) for k in ks]
-                ps = [jnp.exp(s_ - d * sm_scale) for s_ in logits]
+                ps = [jnp.exp(s_) for s_ in logits]  # shiftless, see above
                 l = sum(p.sum(axis=-1, keepdims=True) for p in ps)
                 out = sum(jax.lax.dot(p.astype(v.dtype), v,
                                       preferred_element_type=jnp.float32)
@@ -811,7 +810,9 @@ def _kernel_nomax(q_ref, k_ref, v_ref, o_ref, acc_ref, l_ref, *,
         vc = v[c * bk:(c + 1) * bk]
         s = jax.lax.dot_general(q, kc, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        p = jnp.exp(s - shift)
+        # shift=0 (the production unbiased path): exp(s) <= e^sqrt(D) under
+        # the callers' normalized-q/k contract — the subtract disappears.
+        p = jnp.exp(s - shift) if shift else jnp.exp(s)
         l_ref[...] = l_ref[...] + jnp.broadcast_to(
             jnp.sum(p, axis=-1, keepdims=True), l_ref.shape)
         acc_ref[...] = acc_ref[...] + jax.lax.dot(
@@ -911,9 +912,10 @@ def flash_nomax(q, k, v, bias=None, *, sm_scale: Optional[float] = None,
         interpret=interpret,
     )
     if bias is None:
+        # Shiftless: softmax is shift-invariant and exp(s) <= e^sqrt(D)
+        # under the normalized-q/k contract, so no shift is needed at all.
         kern = functools.partial(_kernel_nomax, sm_scale=float(sm_scale),
-                                 shift=float(d * sm_scale), n_k=n_k,
-                                 chains=chains)
+                                 shift=0.0, n_k=n_k, chains=chains)
         return pl.pallas_call(kern, in_specs=in_specs, **common)(q, k, v)
     assert bias.shape == (b, h, sq, sk), (bias.shape, q.shape, k.shape)
     kern = functools.partial(_kernel_nomax_biased, sm_scale=float(sm_scale),
