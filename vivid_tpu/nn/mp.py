@@ -134,10 +134,11 @@ def mp_conv_apply(params, x, gain=1.0):
     x.dtype."""
     from jax.ad_checkpoint import checkpoint_name
     w = _normalized_weight(params["w"], gain)
-    # Tag the (cast) normalized weight so the save_dots policy can keep it:
-    # under remat every block otherwise re-normalizes its weights in the
-    # backward (fp32 reductions + rescale over the whole param set — ~3-6 ms
-    # per flagship step). Residency cost is one bf16 copy of the params.
+    # "wnorm" tag: lets the save_dots policy optionally keep the normalized
+    # weight (VIVID_SAVE_WNORM=1). Chip A/B measured that saving it is a
+    # ~1.5% LOSS at flagship b=32 — XLA already hoists the re-normalization
+    # out of the backward recompute — so the policy default leaves it out
+    # (nn/unet.py _remat_wrap); the tag alone costs nothing.
     w = checkpoint_name(w.astype(x.dtype), "wnorm")
     if w.ndim == 2:
         return checkpoint_name(x @ w, "mpconv_out")

@@ -245,11 +245,15 @@ def _remat_wrap(fn, remat):
     if not remat:
         return fn
     if remat == "save_dots":
-        # "wnorm" keeps the per-conv normalized weights (one extra bf16 copy
-        # of the params in residuals) so the backward recompute skips the
-        # fp32 weight re-normalization. VIVID_NO_SAVE_WNORM=1 drops it (A/B).
+        # VIVID_SAVE_WNORM=1 additionally keeps the per-conv normalized
+        # weights (one extra bf16 param copy in residuals). Chip A/B
+        # (logs/r4/train_flagship_wnorm.log vs _nownorm.log): a ~1.5% LOSS
+        # at flagship b=32 (217.2 vs 214.0 ms) — XLA already hoists the
+        # weight re-normalization out of the backward recompute (it has no
+        # activation dependence), so saving it only adds residual traffic.
+        # Default OFF; kept as an explicit ablation like --wpack.
         names = ["mpconv_out", "attn_out"]
-        if not os.environ.get("VIVID_NO_SAVE_WNORM"):
+        if os.environ.get("VIVID_SAVE_WNORM"):
             names.append("wnorm")
         policy = jax.checkpoint_policies.save_only_these_names(*names)
         return jax.checkpoint(fn, policy=policy)
