@@ -513,36 +513,44 @@ def _kernel_packed_bwd_common(x_ref, f_refs, b_refs, g_ref, dx_ref, df_refs,
                 l = sum(p.sum(axis=-1, keepdims=True) for p in ps)
                 if zero_sink:
                     l = l + zero_sink * jnp.exp(-m)
-            # The [cq, Sk] probability divisions are eliminated by folding
-            # 1/l into dO (and the rho correction): with pt := p/l,
-            #   dv  = pt^T dO        = p^T (dO/l)
-            #   dpt = dO v'^T        ->  dpt' := (dO/l) v'^T = dpt/l
-            #   rho = rowsum(pt.dpt) = rowsum(p.dpt')
-            #   dS  = pt (dpt - rho) = p (dpt' - rho/l)
-            # — two cheap [cq, 1]/[cq, d] scalings replace per-segment
-            # [cq, Sk] divides.
-            rinv = 1.0 / l                                   # [cq, 1]
-            gl16 = (dO * rinv).astype(dt)
-            dpts = [jax.lax.dot_general(gl16, vh, (((1,), (1,)), ((), ())),
+            # The [cq, Sk] probability divisions are eliminated by keeping
+            # everything in UNNORMALIZED p and folding 1/l into the small
+            # [cq, d] operands of the output dots. With pt := p/l and
+            # tmp := l*dS (per q row):
+            #   dpt = dO v'^T                      (INDEPENDENT of s/p/l —
+            #                                       overlaps the s dot+exp)
+            #   rho_raw = rowsum(p.dpt) = l*rho
+            #   tmp = p (dpt - rho_raw/l) = l * pt (dpt - rho)
+            #   dq  = (tmp k') * scale/l           (row scale after the dot)
+            #   dk  = tmp^T (q'/l)                 (fold into the q tile)
+            #   dv  = p^T (dO/l)                   (fold into dO)
+            #   dbias = tmp/l                      (biased path only)
+            # Only [cq, 1]/[cq, d] scalings touch 1/l; no [cq, Sk] divide.
+            dO16 = dO.astype(dt)
+            dpts = [jax.lax.dot_general(dO16, vh, (((1,), (1,)), ((), ())),
                                         preferred_element_type=jnp.float32)
                     for vh in vhs]
+            rinv = 1.0 / l                                   # [cq, 1]
             rho_l = sum(jnp.sum(p * dpt, axis=-1, keepdims=True)
-                        for p, dpt in zip(ps, dpts)) * rinv   # = rho/l
-            dss = [p * (dpt - rho_l) for p, dpt in zip(ps, dpts)]
+                        for p, dpt in zip(ps, dpts)) * rinv   # = rho_raw/l
+            tmps = [p * (dpt - rho_l) for p, dpt in zip(ps, dpts)]
             dq_hat = sum(
-                jax.lax.dot(ds.astype(dt), kh,
+                jax.lax.dot(tmp.astype(dt), kh,
                             preferred_element_type=jnp.float32)
-                for ds, kh in zip(dss, khs)) * sm_scale
+                for tmp, kh in zip(tmps, khs)) * (sm_scale * rinv)
             dq = _norm_bwd(q_raw, dq_hat, norm_eps)
             dx_ref[0, pl.ds(q0, cq), h * d:(h + 1) * d] = dq.astype(
                 dx_ref.dtype)
             for jb, dbr in enumerate(db_refs):
-                dbr[0, h, pl.ds(q0, cq)] = dss[1 + jb].astype(dbr.dtype)
+                dbr[0, h, pl.ds(q0, cq)] = (tmps[1 + jb] * rinv).astype(
+                    dbr.dtype)
+            qh_l = (qh * rinv).astype(dt)
+            gl16 = (dO * rinv).astype(dt)
             dk_hats = tuple(
-                dkh + jax.lax.dot_general(ds.astype(dt), qh,
+                dkh + jax.lax.dot_general(tmp.astype(dt), qh_l,
                                           (((0,), (0,)), ((), ())),
                                           preferred_element_type=jnp.float32)
-                for dkh, ds in zip(dk_hats, dss))
+                for dkh, tmp in zip(dk_hats, tmps))
             dv_hats = tuple(
                 dvh + jax.lax.dot_general(p.astype(dt), gl16,
                                           (((0,), (0,)), ((), ())),
