@@ -239,6 +239,48 @@ def test_full_model_chip_parity(uncond, epipolar, cph):
     assert _psnr(a, c) > 40, f"PSNR {_psnr(a, c):.1f} dB"
 
 
+@pytest.mark.parametrize("shape,zs,n_feats", [
+    ((4, 1024, 4), 0, 0),       # base-model self-attention level
+    ((4, 1024, 4), 2048, 0),    # uncond zero-sink
+    ((2, 1024, 4), 0, 2),       # dual-source joint xattn
+    ((4, 256, 6), 0, 2),        # mid level
+])
+def test_nomax_packed_chip_parity(shape, zs, n_feats):
+    """flash_nomax_packed (grid-pipelined packed forward, VIVID_NOMAX_PACKED
+    route) vs the whole-row packed kernel AND the XLA composite on the chip
+    at production shapes."""
+    import jax
+    import jax.numpy as jnp
+    from vivid_tpu.kernels.attention import (_xla_self_attention_from_packed,
+                                             _xla_xattn_from_packed)
+    from vivid_tpu.kernels.flash import (flash_fused_packed,
+                                         flash_fused_packed_xattn,
+                                         flash_nomax_packed)
+    assert jax.devices()[0].platform == "tpu"
+    B, S, H = shape
+    key = jax.random.PRNGKey(3)
+    qkv = jax.random.normal(key, (B, S, 3 * H * 64), jnp.bfloat16)
+    feats = tuple(
+        jax.random.normal(jax.random.fold_in(key, i), (B, S, 2 * H * 64),
+                          jnp.bfloat16) for i in range(n_feats))
+    if n_feats:
+        got = np.asarray(jax.jit(lambda x, f: flash_nomax_packed(
+            x, f, H, norm_eps=1e-4))(qkv, feats), np.float32)
+        whole = np.asarray(jax.jit(lambda x, f: flash_fused_packed_xattn(
+            x, f, H, norm_eps=1e-4))(qkv, feats), np.float32)
+        want = np.asarray(jax.jit(lambda x, f: _xla_xattn_from_packed(
+            x, f, (), H, 1e-4))(qkv, feats), np.float32)
+    else:
+        got = np.asarray(jax.jit(lambda x: flash_nomax_packed(
+            x, (), H, norm_eps=1e-4, zero_sink=zs))(qkv), np.float32)
+        whole = np.asarray(jax.jit(lambda x: flash_fused_packed(
+            x, H, norm_eps=1e-4, zero_sink=zs))(qkv), np.float32)
+        want = np.asarray(jax.jit(lambda x: _xla_self_attention_from_packed(
+            x, H, zs, 1e-4))(qkv), np.float32)
+    assert np.abs(got - whole).max() < 0.01   # same math, other schedule
+    assert np.abs(got - want).max() < 0.02
+
+
 @pytest.mark.parametrize("shape", [
     (2, 4, 4096, 8192, 32),    # SR 64x64-level xattn shape (d=32)
     (1, 2, 4096, 4096, 64),    # big-S d=64 (SR encoder-level)

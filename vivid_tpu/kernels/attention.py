@@ -244,9 +244,31 @@ def _xla_self_attention_from_packed(qkv, num_heads: int, zero_sink: int,
     return jnp.swapaxes(out, 1, 2).reshape(b, s, num_heads * d)
 
 
+def _nomax_packed_on() -> bool:
+    """VIVID_NOMAX_PACKED=1 swaps the packed kernels' FORWARD schedule for
+    flash_nomax_packed (pipelined (B, H, n_q, n_k) grid, shiftless softmax —
+    see kernels/flash.py). Trace-time flag for chip A/B; the backward stays
+    on the whole-row packed kernels either way."""
+    import os
+    return os.environ.get("VIVID_NOMAX_PACKED", "0") == "1"
+
+
+def _nomax_packed_ok(s: int, seg_lens=()) -> bool:
+    """flash_nomax_packed's alignment gate: every segment must tile by the
+    common block (min(1024, shortest segment))."""
+    bq = min(1024, s)
+    bk = min(1024, min((s,) + tuple(seg_lens)))
+    return s % bq == 0 and all(sl % bk == 0 for sl in seg_lens)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
 def _pallas_self_attention_packed(qkv, num_heads: int, zero_sink: int,
                                   eps: float):
+    if _nomax_packed_on() and _nomax_packed_ok(qkv.shape[1]):
+        from vivid_tpu.kernels.flash import flash_nomax_packed
+        return flash_nomax_packed(qkv, (), num_heads, norm_eps=eps,
+                                  zero_sink=zero_sink,
+                                  interpret=_interpret())
     from vivid_tpu.kernels.flash import flash_fused_packed
     return flash_fused_packed(qkv, num_heads, norm_eps=eps,
                               zero_sink=zero_sink, interpret=_interpret())
@@ -322,6 +344,14 @@ def _xla_xattn_from_packed(qkv, feats, biases, num_heads: int, eps: float):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _pallas_xattn_packed(qkv, feats, biases, num_heads: int, eps: float):
+    if (not biases and _nomax_packed_on()
+            and _nomax_packed_ok(qkv.shape[1],
+                                 [f.shape[1] for f in feats])):
+        # Unbiased only: learned epipolar offsets break the sqrt(D) logit
+        # bound the shiftless exp relies on; biased shapes keep whole-row.
+        from vivid_tpu.kernels.flash import flash_nomax_packed
+        return flash_nomax_packed(qkv, feats, num_heads, norm_eps=eps,
+                                  interpret=_interpret())
     from vivid_tpu.kernels.flash import flash_fused_packed_xattn
     return flash_fused_packed_xattn(qkv, feats, num_heads, biases=biases,
                                     norm_eps=eps, interpret=_interpret())

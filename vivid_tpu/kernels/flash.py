@@ -35,6 +35,8 @@ out [B, H, Sq, D] in v.dtype.
 import functools
 from typing import Optional
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -938,3 +940,160 @@ def flash_nomax(q, k, v, bias=None, *, sm_scale: Optional[float] = None,
                                 lambda ib, ih, iq, ik: (ib, ih, iq, ik))])
     return pl.pallas_call(kern, in_specs=in_specs, **common)(
         shift, q, k, v, bias)
+
+
+# ---------------------------------------------------------------------------
+# Grid-scheduled PACKED attention: the flash_nomax schedule reading q/k/v
+# tiles STRAIGHT from the packed conv outputs. The whole-row packed kernels
+# above (grid=(b,), heads statically unrolled, q chunks under fori_loop)
+# measure ~50-56 TF/s at the flagship S=1024 shapes while the SAME math in
+# flash_nomax's pipelined (B, H, nq, nk) grid runs 93.6 TF/s at d=64 — the
+# whole-row form's single giant grid step leaves Mosaic nothing to pipeline.
+# This kernel keeps the packed kernels' zero-copy property (q reads block
+# column h of [B, S, 3HD], k column H+h, v column 2H+h — part-major packing
+# makes each head's part a contiguous d-wide channel block) and the nomax
+# grid: the n_k axis spans the self segment plus every cross segment via
+# clipped index_maps (each segment's refs fetch a valid block on every step;
+# pl.when picks the live one — the redundant DMA is ~100 KB/step against
+# ~270 MFLOP/step of compute). Joint softmax is exact without any max/shift
+# bookkeeping: in-kernel RMS norm bounds scaled logits by sqrt(d), so
+# shiftless exp accumulation over segments in fp32 scratch IS the joint
+# softmax (zero-sink columns carry exp(0)=1, added to l at finalize).
+# Unbiased only (learned epipolar offsets break the logit bound); biased
+# shapes keep the whole-row kernels.
+
+def _kernel_nomax_packed(*refs, H: int, d: int, n_segs: int, seg_offs,
+                         sm_scale: float, norm_eps: Optional[float],
+                         zero_sink: int, n_k: int, chains: int):
+    """refs: q_ref, then (k_ref, v_ref) per segment, then o_ref, acc_ref,
+    l_ref. Grid (B, H, n_q, n_k) with n_k spanning the concatenated KV
+    segments; seg_offs[j] is segment j's first n_k step."""
+    q_ref = refs[0]
+    kv_refs = refs[1:1 + 2 * n_segs]
+    o_ref, acc_ref, l_ref = refs[1 + 2 * n_segs:]
+    ik = pl.program_id(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    q = _rms_norm(q_ref[0], norm_eps, out_scale=sm_scale)
+    for j in range(n_segs):
+        lo, hi = seg_offs[j], seg_offs[j + 1]
+
+        @pl.when((ik >= lo) & (ik < hi))
+        def _seg(j=j):
+            k = _rms_norm(kv_refs[2 * j][0], norm_eps)
+            v = _rms_norm(kv_refs[2 * j + 1][0], norm_eps)
+            bk = k.shape[0] // chains
+            for c in range(chains):
+                kc = k[c * bk:(c + 1) * bk]
+                vc = v[c * bk:(c + 1) * bk]
+                s = jax.lax.dot_general(q, kc, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                p = jnp.exp(s)  # shiftless: |s| <= sqrt(d) by the norm bound
+                l_ref[...] = l_ref[...] + jnp.broadcast_to(
+                    jnp.sum(p, axis=-1, keepdims=True), l_ref.shape)
+                acc_ref[...] = acc_ref[...] + jax.lax.dot(
+                    p.astype(vc.dtype), vc,
+                    preferred_element_type=jnp.float32)
+
+    @pl.when(ik == n_k - 1)
+    def _finalize():
+        l = l_ref[:, :1]
+        if zero_sink:
+            l = l + float(zero_sink)
+        o_ref[0] = (acc_ref[...] / l).astype(o_ref.dtype)
+
+
+def flash_nomax_packed(qkv, feats=(), num_heads: int = 1, *,
+                       sm_scale: Optional[float] = None,
+                       norm_eps: Optional[float] = 1e-4, zero_sink: int = 0,
+                       block_q: int = 1024, block_k: int = 1024,
+                       chains: int = 2, interpret: bool = False):
+    """Self- or joint cross-attention straight off the packed conv outputs
+    with the grid-pipelined nomax schedule (see block comment above).
+
+    qkv [B, S, 3*H*D] part-major; feats: sequence of [B, Sf, 2*H*D]
+    part-major cross KV sources; output [B, S, H*D] (head, d)-packed —
+    the same contract as flash_fused_packed / _xattn (kernels/flash.py).
+    Requires S % block and Sf % block alignment (the production shapes are
+    powers of two; the dispatch gate checks). Unbiased only."""
+    b, s, c3 = qkv.shape
+    d = c3 // (3 * num_heads)
+    assert c3 == 3 * num_heads * d
+    H = num_heads
+    feats = tuple(feats)
+    for f in feats:
+        assert f.shape[0] == b and f.shape[2] == 2 * H * d, f.shape
+    if sm_scale is None:
+        sm_scale = 1.0 / (d ** 0.5)
+
+    bq = min(block_q, s)
+    seg_lens = (s,) + tuple(f.shape[1] for f in feats)
+    bk = min(block_k, min(seg_lens))
+    assert s % bq == 0 and all(sl % bk == 0 for sl in seg_lens), \
+        (s, seg_lens, bq, bk)
+    if bk % (128 * chains):
+        chains = 1
+    n_q = s // bq
+    seg_steps = [sl // bk for sl in seg_lens]
+    seg_offs = tuple(int(x) for x in np.cumsum([0] + seg_steps))
+    n_k = seg_offs[-1]
+    n_segs = 1 + len(feats)
+
+    def q_index(ib, ih, iq, ik):
+        return (ib, iq, ih)
+
+    def seg_index(off, steps, part):
+        # Clipped: outside the segment's n_k range the ref re-fetches a
+        # valid block (usually the one just used — no extra DMA churn).
+        def index(ib, ih, iq, ik, off=off, steps=steps, part=part):
+            jk = jnp.clip(ik - off, 0, steps - 1)
+            return (ib, jk, part * H + ih)
+        return index
+
+    in_specs = [pl.BlockSpec((1, bq, d), q_index)]
+    operands = [qkv]
+    # Self segment: k/v live in qkv at channel blocks H+h / 2H+h.
+    in_specs += [
+        pl.BlockSpec((1, bk, d), seg_index(0, seg_steps[0], 1)),
+        pl.BlockSpec((1, bk, d), seg_index(0, seg_steps[0], 2)),
+    ]
+    operands += [qkv, qkv]
+    for j, f in enumerate(feats):
+        in_specs += [
+            pl.BlockSpec((1, bk, d), seg_index(seg_offs[1 + j],
+                                               seg_steps[1 + j], 0)),
+            pl.BlockSpec((1, bk, d), seg_index(seg_offs[1 + j],
+                                               seg_steps[1 + j], 1)),
+        ]
+        operands += [f, f]
+
+    sk_total = sum(seg_lens)
+    cost = pl.CostEstimate(
+        flops=4 * b * H * s * sk_total * d + (9 * b * s * c3
+                                              if norm_eps is not None else 0),
+        transcendentals=b * H * s * sk_total,
+        bytes_accessed=(qkv.size + sum(f.size for f in feats)
+                        + b * s * H * d) * qkv.dtype.itemsize,
+    )
+    kern = functools.partial(_kernel_nomax_packed, H=H, d=d, n_segs=n_segs,
+                             seg_offs=seg_offs, sm_scale=float(sm_scale),
+                             norm_eps=norm_eps, zero_sink=int(zero_sink),
+                             n_k=n_k, chains=chains)
+    return pl.pallas_call(
+        kern,
+        grid=(b, H, n_q, n_k),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, bq, d), q_index),
+        out_shape=_out_struct((b, s, H * d), qkv.dtype, qkv),
+        scratch_shapes=[
+            pltpu.VMEM((bq, d), jnp.float32),     # acc
+            pltpu.VMEM((bq, 128), jnp.float32),   # denom
+        ],
+        cost_estimate=cost,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2 ** 20),
+        interpret=interpret,
+    )(*operands)

@@ -95,12 +95,39 @@ def _qkv_perm(num_heads: int, d: int, parts: int) -> np.ndarray:
     return idx.transpose(2, 0, 1).reshape(-1)
 
 
+def _attn_dot() -> bool:
+    """When set, the 1x1 attention convs (qkv / x_attn_kv / attn_proj) on the
+    packed path run as dots over the flattened [B, S, C] token axis instead
+    of 1x1 convs on [B, H, W, C]. Rationale: XLA assigns conv outputs
+    batch-in-sublanes layouts ({3,0,2,1}) while the packed Pallas custom
+    calls require row-major {2,1,0} — with convs on both sides of the
+    kernel, every attention block pays whole-tensor relayout copies in BOTH
+    passes (transpose_jvp + copy ≈ 11% of the flagship train-step trace).
+    Dots produce (and accept cotangents in) {2,1,0} natively. Numerics are
+    the same weight-normalized matmul either way (a 1x1 filter's norm and
+    fan_in equal its linear twin's). Chip A/B pending; flag defaults off."""
+    import os
+    return os.environ.get("VIVID_ATTN_DOT", "0") == "1"
+
+
+def _as_linear(params_conv):
+    """The linear twin of a 1x1 conv parameter: [1,1,I,O] -> [I,O].
+    mp_conv_apply's weight normalization is identical on both views (the
+    per-output-channel filter norm sums over the same I elements)."""
+    w = params_conv["w"]
+    assert w.ndim == 4 and w.shape[0] == 1 and w.shape[1] == 1, w.shape
+    return {"w": w[0, 0]}
+
+
 def _packed_qkv_conv(params_conv, x, num_heads, parts):
     """Apply the qkv/kv conv with output channels permuted to the internal
-    (part, head, d) packing."""
+    (part, head, d) packing. x may be [B, H, W, C] (1x1 conv) or the
+    flattened [B, S, C] (linear twin — see _attn_dot)."""
     d = params_conv["w"].shape[-1] // (num_heads * parts)
-    w = {"w": params_conv["w"][..., _qkv_perm(num_heads, d, parts)]}
-    return mp_conv_apply(w, x)
+    w = params_conv["w"][..., _qkv_perm(num_heads, d, parts)]
+    if x.ndim == 3:
+        w = w[0, 0]
+    return mp_conv_apply({"w": w}, x)
 
 
 def _split_qkv(qkv, num_heads, parts, normalize_parts: bool = True):
@@ -236,7 +263,6 @@ def block_apply(params: dict, cfg: BlockConfig, x, emb,
         from vivid_tpu.kernels.attention import (attention_from_raw,
                                                  self_attention_from_packed)
         b, h, w, ch = x.shape
-        qkv = _packed_qkv_conv(params["attn_qkv"], x, cfg.num_heads, 3)
 
         # Packed fast paths: the packed kernels read q/k/v straight from
         # the conv outputs and write (head, d)-packed — the reshapes below
@@ -247,7 +273,15 @@ def block_apply(params: dict, cfg: BlockConfig, x, emb,
         if use_packed:
             from jax.ad_checkpoint import checkpoint_name
             from vivid_tpu.kernels.attention import xattn_from_packed
-            flat_qkv = qkv.reshape(b, h * w, qkv.shape[-1])
+            as_dot = _attn_dot()
+            if as_dot:
+                flat_qkv = _packed_qkv_conv(params["attn_qkv"],
+                                            x.reshape(b, h * w, ch),
+                                            cfg.num_heads, 3)
+            else:
+                qkv = _packed_qkv_conv(params["attn_qkv"], x,
+                                       cfg.num_heads, 3)
+                flat_qkv = qkv.reshape(b, h * w, qkv.shape[-1])
             if not cfg.xattn or features == "zeros":
                 sink = cfg.num_cross_sources * h * w if cfg.xattn else 0
                 y = self_attention_from_packed(flat_qkv, cfg.num_heads,
@@ -255,11 +289,21 @@ def block_apply(params: dict, cfg: BlockConfig, x, emb,
             else:
                 assert features is not None and \
                     len(features) == cfg.num_cross_sources
-                kvs = tuple(
-                    _packed_qkv_conv(params["x_attn_kv"],
-                                     feat.astype(x.dtype), cfg.num_heads, 2)
-                    .reshape(b, feat.shape[1] * feat.shape[2], -1)
-                    for feat in features)
+                if as_dot:
+                    kvs = tuple(
+                        _packed_qkv_conv(
+                            params["x_attn_kv"],
+                            feat.astype(x.dtype).reshape(
+                                b, feat.shape[1] * feat.shape[2], -1),
+                            cfg.num_heads, 2)
+                        for feat in features)
+                else:
+                    kvs = tuple(
+                        _packed_qkv_conv(params["x_attn_kv"],
+                                         feat.astype(x.dtype), cfg.num_heads,
+                                         2)
+                        .reshape(b, feat.shape[1] * feat.shape[2], -1)
+                        for feat in features)
                 ep_biases = ()
                 if "epipolar_mixing" in params and src_geometries is not None:
                     patch = cfg.imsize // h
@@ -270,13 +314,18 @@ def block_apply(params: dict, cfg: BlockConfig, x, emb,
                         for geo in src_geometries)
                 y = xattn_from_packed(flat_qkv, kvs, cfg.num_heads,
                                       biases=ep_biases)
-            y = checkpoint_name(y, "attn_out").reshape(b, h, w, ch)
-            y = mp_conv_apply(params["attn_proj"], y)
+            y = checkpoint_name(y, "attn_out")
+            if as_dot:
+                y = mp_conv_apply(_as_linear(params["attn_proj"]), y)
+                y = y.reshape(b, h, w, ch)
+            else:
+                y = mp_conv_apply(params["attn_proj"], y.reshape(b, h, w, ch))
             x = mp_sum(x, y, t=cfg.attn_balance)
             if cfg.clip_act is not None:
                 x = jnp.clip(x, -cfg.clip_act, cfg.clip_act)
             return x
 
+        qkv = _packed_qkv_conv(params["attn_qkv"], x, cfg.num_heads, 3)
         q, k, v = (constrain(t, "heads")
                    for t in _split_qkv(qkv, cfg.num_heads, 3,
                                        normalize_parts=train))
