@@ -27,10 +27,13 @@ def _mk_packed(b, s, h, d, parts, seed=0):
     return jax.random.normal(key, (b, s, parts * h * d), jnp.bfloat16)
 
 
+# Head counts satisfy the head-group channel gate (blocks along the packed
+# channel axis are 128 lanes wide: d=32 needs H % 4 == 0, d=64 needs H even
+# — as all production shapes do).
 @pytest.mark.parametrize("b,s,h,d,sink", [
-    (1, 128, 2, 32, 0),
-    (2, 128, 2, 32, 256),   # uncond zero-sink path
-    (1, 256, 1, 64, 0),
+    (1, 128, 4, 32, 0),
+    (2, 128, 4, 32, 256),   # uncond zero-sink path
+    (1, 256, 2, 64, 0),
 ])
 def test_nomax_packed_self(b, s, h, d, sink):
     from vivid_tpu.kernels.flash import flash_fused_packed
@@ -54,9 +57,9 @@ def test_nomax_packed_self(b, s, h, d, sink):
 
 
 @pytest.mark.parametrize("b,s,h,d,feat_lens", [
-    (1, 128, 2, 32, (128, 128)),   # dual-source, equal lengths
-    (1, 256, 2, 32, (128,)),       # mixed lengths exercise the seg offsets
-    (2, 128, 1, 64, (128, 128)),
+    (1, 128, 4, 32, (128, 128)),   # dual-source, equal lengths
+    (1, 256, 4, 32, (128,)),       # mixed lengths exercise the seg offsets
+    (2, 128, 2, 64, (128, 128)),
 ])
 def test_nomax_packed_xattn(b, s, h, d, feat_lens):
     from vivid_tpu.kernels.flash import flash_fused_packed_xattn
@@ -78,10 +81,10 @@ def test_nomax_packed_xattn(b, s, h, d, feat_lens):
 
 
 def test_nomax_packed_chains_match():
-    qkv = _mk_packed(1, 256, 2, 32, 3, seed=4)
-    a = flash_nomax_packed(qkv, (), 2, norm_eps=EPS, block_q=128,
+    qkv = _mk_packed(1, 256, 4, 32, 3, seed=4)
+    a = flash_nomax_packed(qkv, (), 4, norm_eps=EPS, block_q=128,
                            block_k=256, chains=2, interpret=True)
-    b_ = flash_nomax_packed(qkv, (), 2, norm_eps=EPS, block_q=128,
+    b_ = flash_nomax_packed(qkv, (), 4, norm_eps=EPS, block_q=128,
                             block_k=256, chains=1, interpret=True)
     np.testing.assert_allclose(np.asarray(a, np.float32),
                                np.asarray(b_, np.float32),
@@ -95,15 +98,15 @@ def test_nomax_packed_dispatch_grads(monkeypatch):
     monkeypatch.setenv("VIVID_PALLAS_INTERPRET", "1")
     from vivid_tpu.kernels.attention import (self_attention_from_packed,
                                              xattn_from_packed)
-    qkv = _mk_packed(1, 128, 2, 32, 3, seed=6).astype(jnp.float32)
-    feats = tuple(_mk_packed(1, 128, 2, 32, 2, seed=20 + i)
+    qkv = _mk_packed(1, 128, 4, 32, 3, seed=6).astype(jnp.float32)
+    feats = tuple(_mk_packed(1, 128, 4, 32, 2, seed=20 + i)
                   .astype(jnp.float32) for i in range(2))
 
     def loss(x, fs):
-        y1 = self_attention_from_packed(x.astype(jnp.bfloat16), 2,
+        y1 = self_attention_from_packed(x.astype(jnp.bfloat16), 4,
                                         zero_sink=256, eps=EPS)
         y2 = xattn_from_packed(x.astype(jnp.bfloat16),
-                               tuple(f.astype(jnp.bfloat16) for f in fs), 2,
+                               tuple(f.astype(jnp.bfloat16) for f in fs), 4,
                                eps=EPS)
         return jnp.sum(jnp.square(y1.astype(jnp.float32))
                        + jnp.square(y2.astype(jnp.float32)))

@@ -253,18 +253,28 @@ def _nomax_packed_on() -> bool:
     return os.environ.get("VIVID_NOMAX_PACKED", "0") == "1"
 
 
-def _nomax_packed_ok(s: int, seg_lens=()) -> bool:
+def _nomax_packed_ok(s: int, seg_lens=(), num_heads: int = 1,
+                     head_dim: int = 64) -> bool:
     """flash_nomax_packed's alignment gate: every segment must tile by the
-    common block (min(1024, shortest segment))."""
+    common block (min(1024, shortest segment)), and the packed channel axis
+    must tile by W = max(d, 128)-wide head-group blocks (Mosaic's lane-dim
+    block rule): 128 % d == 0 (or d % 128 == 0) with H % (W/d) == 0."""
     bq = min(1024, s)
     bk = min(1024, min((s,) + tuple(seg_lens)))
-    return s % bq == 0 and all(sl % bk == 0 for sl in seg_lens)
+    if s % bq or any(sl % bk for sl in seg_lens):
+        return False
+    d = head_dim
+    w = d if d % 128 == 0 else 128
+    return w % d == 0 and num_heads % (w // d) == 0 \
+        and (num_heads * d) % w == 0
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
 def _pallas_self_attention_packed(qkv, num_heads: int, zero_sink: int,
                                   eps: float):
-    if _nomax_packed_on() and _nomax_packed_ok(qkv.shape[1]):
+    if _nomax_packed_on() and _nomax_packed_ok(
+            qkv.shape[1], num_heads=num_heads,
+            head_dim=qkv.shape[2] // (3 * num_heads)):
         from vivid_tpu.kernels.flash import flash_nomax_packed
         return flash_nomax_packed(qkv, (), num_heads, norm_eps=eps,
                                   zero_sink=zero_sink,
@@ -346,7 +356,9 @@ def _xla_xattn_from_packed(qkv, feats, biases, num_heads: int, eps: float):
 def _pallas_xattn_packed(qkv, feats, biases, num_heads: int, eps: float):
     if (not biases and _nomax_packed_on()
             and _nomax_packed_ok(qkv.shape[1],
-                                 [f.shape[1] for f in feats])):
+                                 [f.shape[1] for f in feats],
+                                 num_heads=num_heads,
+                                 head_dim=qkv.shape[2] // (3 * num_heads))):
         # Unbiased only: learned epipolar offsets break the sqrt(D) logit
         # bound the shiftless exp relies on; biased shapes keep whole-row.
         from vivid_tpu.kernels.flash import flash_nomax_packed

@@ -949,25 +949,33 @@ def flash_nomax(q, k, v, bias=None, *, sm_scale: Optional[float] = None,
 # measure ~50-56 TF/s at the flagship S=1024 shapes while the SAME math in
 # flash_nomax's pipelined (B, H, nq, nk) grid runs 93.6 TF/s at d=64 — the
 # whole-row form's single giant grid step leaves Mosaic nothing to pipeline.
-# This kernel keeps the packed kernels' zero-copy property (q reads block
-# column h of [B, S, 3HD], k column H+h, v column 2H+h — part-major packing
-# makes each head's part a contiguous d-wide channel block) and the nomax
-# grid: the n_k axis spans the self segment plus every cross segment via
-# clipped index_maps (each segment's refs fetch a valid block on every step;
-# pl.when picks the live one — the redundant DMA is ~100 KB/step against
-# ~270 MFLOP/step of compute). Joint softmax is exact without any max/shift
-# bookkeeping: in-kernel RMS norm bounds scaled logits by sqrt(d), so
-# shiftless exp accumulation over segments in fp32 scratch IS the joint
-# softmax (zero-sink columns carry exp(0)=1, added to l at finalize).
-# Unbiased only (learned epipolar offsets break the logit bound); biased
-# shapes keep the whole-row kernels.
+# This kernel keeps the packed kernels' zero-copy property (part-major
+# packing makes each head's part a contiguous d-wide channel block of
+# [B, S, 3HD]) and the nomax grid: the n_k axis spans the self segment plus
+# every cross segment via clipped index_maps (each segment's refs fetch a
+# valid block on every step; pl.when picks the live one — the redundant DMA
+# is ~100 KB/step against ~270 MFLOP/step of compute). Mosaic requires the
+# last block dim be a multiple of 128 (or the full array dim), so blocks
+# along the channel axis are W = max(d, 128) wide: one grid step fetches a
+# HEAD GROUP of g = W/d adjacent heads (alignment gate: H % g == 0 and
+# (H*d) % W == 0 so every part starts on a block boundary) and lane-slices
+# the per-head d-columns from the loaded tile — the same value-slicing
+# idiom the chip-proven whole-row kernels use. Joint softmax is exact
+# without any max/shift bookkeeping: in-kernel RMS norm bounds scaled
+# logits by sqrt(d), so shiftless exp accumulation over segments in fp32
+# scratch IS the joint softmax (zero-sink columns carry exp(0)=1, added to
+# the denominator at finalize; the l scratch holds each head's denominator
+# broadcast over that head's d output columns so the finalize divide is one
+# elementwise op). Unbiased only (learned epipolar offsets break the logit
+# bound); biased shapes keep the whole-row kernels.
 
-def _kernel_nomax_packed(*refs, H: int, d: int, n_segs: int, seg_offs,
+def _kernel_nomax_packed(*refs, g: int, d: int, n_segs: int, seg_offs,
                          sm_scale: float, norm_eps: Optional[float],
                          zero_sink: int, n_k: int, chains: int):
-    """refs: q_ref, then (k_ref, v_ref) per segment, then o_ref, acc_ref,
-    l_ref. Grid (B, H, n_q, n_k) with n_k spanning the concatenated KV
-    segments; seg_offs[j] is segment j's first n_k step."""
+    """refs: q_ref, then (k_ref, v_ref) per segment (all [1, rows, g*d]
+    head-group blocks), then o_ref, acc_ref, l_ref. Grid (B, H//g, n_q,
+    n_k) with n_k spanning the concatenated KV segments; seg_offs[j] is
+    segment j's first n_k step."""
     q_ref = refs[0]
     kv_refs = refs[1:1 + 2 * n_segs]
     o_ref, acc_ref, l_ref = refs[1 + 2 * n_segs:]
@@ -978,30 +986,43 @@ def _kernel_nomax_packed(*refs, H: int, d: int, n_segs: int, seg_offs,
         acc_ref[...] = jnp.zeros_like(acc_ref)
         l_ref[...] = jnp.zeros_like(l_ref)
 
-    q = _rms_norm(q_ref[0], norm_eps, out_scale=sm_scale)
+    qg = q_ref[0]
+    qs = [_rms_norm(qg[:, i * d:(i + 1) * d], norm_eps, out_scale=sm_scale)
+          for i in range(g)]
     for j in range(n_segs):
         lo, hi = seg_offs[j], seg_offs[j + 1]
 
         @pl.when((ik >= lo) & (ik < hi))
         def _seg(j=j):
-            k = _rms_norm(kv_refs[2 * j][0], norm_eps)
-            v = _rms_norm(kv_refs[2 * j + 1][0], norm_eps)
-            bk = k.shape[0] // chains
-            for c in range(chains):
-                kc = k[c * bk:(c + 1) * bk]
-                vc = v[c * bk:(c + 1) * bk]
-                s = jax.lax.dot_general(q, kc, (((1,), (1,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
-                p = jnp.exp(s)  # shiftless: |s| <= sqrt(d) by the norm bound
-                l_ref[...] = l_ref[...] + jnp.broadcast_to(
-                    jnp.sum(p, axis=-1, keepdims=True), l_ref.shape)
-                acc_ref[...] = acc_ref[...] + jax.lax.dot(
-                    p.astype(vc.dtype), vc,
-                    preferred_element_type=jnp.float32)
+            kg = kv_refs[2 * j][0]
+            vg = kv_refs[2 * j + 1][0]
+            outs, dens = [], []
+            for i in range(g):
+                k = _rms_norm(kg[:, i * d:(i + 1) * d], norm_eps)
+                v = _rms_norm(vg[:, i * d:(i + 1) * d], norm_eps)
+                bk = k.shape[0] // chains
+                acc_i = l_i = None
+                for c in range(chains):
+                    kc = k[c * bk:(c + 1) * bk]
+                    vc = v[c * bk:(c + 1) * bk]
+                    s = jax.lax.dot_general(
+                        qs[i], kc, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    # shiftless: |s| <= sqrt(d) by the norm bound
+                    p = jnp.exp(s)
+                    li = jnp.sum(p, axis=-1, keepdims=True)
+                    oi = jax.lax.dot(p.astype(vc.dtype), vc,
+                                     preferred_element_type=jnp.float32)
+                    l_i = li if l_i is None else l_i + li
+                    acc_i = oi if acc_i is None else acc_i + oi
+                outs.append(acc_i)
+                dens.append(jnp.broadcast_to(l_i, (l_i.shape[0], d)))
+            acc_ref[...] = acc_ref[...] + jnp.concatenate(outs, axis=-1)
+            l_ref[...] = l_ref[...] + jnp.concatenate(dens, axis=-1)
 
     @pl.when(ik == n_k - 1)
     def _finalize():
-        l = l_ref[:, :1]
+        l = l_ref[...]
         if zero_sink:
             l = l + float(zero_sink)
         o_ref[0] = (acc_ref[...] / l).astype(o_ref.dtype)
@@ -1018,8 +1039,11 @@ def flash_nomax_packed(qkv, feats=(), num_heads: int = 1, *,
     qkv [B, S, 3*H*D] part-major; feats: sequence of [B, Sf, 2*H*D]
     part-major cross KV sources; output [B, S, H*D] (head, d)-packed —
     the same contract as flash_fused_packed / _xattn (kernels/flash.py).
-    Requires S % block and Sf % block alignment (the production shapes are
-    powers of two; the dispatch gate checks). Unbiased only."""
+    Requires S % block and Sf % block alignment plus head-group channel
+    alignment — blocks along the packed channel axis are W = max(d, 128)
+    wide (Mosaic's lane-dim block rule), each covering g = W/d heads, so
+    H % g == 0 and (H*d) % W == 0 (the production shapes: d=64 H even,
+    d=32 H % 4 == 0; the dispatch gate checks). Unbiased only."""
     b, s, c3 = qkv.shape
     d = c3 // (3 * num_heads)
     assert c3 == 3 * num_heads * d
@@ -1029,6 +1053,11 @@ def flash_nomax_packed(qkv, feats=(), num_heads: int = 1, *,
         assert f.shape[0] == b and f.shape[2] == 2 * H * d, f.shape
     if sm_scale is None:
         sm_scale = 1.0 / (d ** 0.5)
+
+    W = d if d % 128 == 0 else 128
+    assert W % d == 0 and H % (W // d) == 0 and (H * d) % W == 0, (H, d)
+    g = W // d
+    pb = (H * d) // W  # channel blocks per part (q/k/v all H*d wide)
 
     bq = min(block_q, s)
     seg_lens = (s,) + tuple(f.shape[1] for f in feats)
@@ -1043,31 +1072,31 @@ def flash_nomax_packed(qkv, feats=(), num_heads: int = 1, *,
     n_k = seg_offs[-1]
     n_segs = 1 + len(feats)
 
-    def q_index(ib, ih, iq, ik):
-        return (ib, iq, ih)
+    def q_index(ib, ihg, iq, ik):
+        return (ib, iq, ihg)
 
-    def seg_index(off, steps, part):
+    def seg_index(off, steps, part_blocks):
         # Clipped: outside the segment's n_k range the ref re-fetches a
         # valid block (usually the one just used — no extra DMA churn).
-        def index(ib, ih, iq, ik, off=off, steps=steps, part=part):
+        def index(ib, ihg, iq, ik, off=off, steps=steps, pb=part_blocks):
             jk = jnp.clip(ik - off, 0, steps - 1)
-            return (ib, jk, part * H + ih)
+            return (ib, jk, pb + ihg)
         return index
 
-    in_specs = [pl.BlockSpec((1, bq, d), q_index)]
+    in_specs = [pl.BlockSpec((1, bq, W), q_index)]
     operands = [qkv]
-    # Self segment: k/v live in qkv at channel blocks H+h / 2H+h.
+    # Self segment: k/v live in qkv one/two part-widths (pb blocks) in.
     in_specs += [
-        pl.BlockSpec((1, bk, d), seg_index(0, seg_steps[0], 1)),
-        pl.BlockSpec((1, bk, d), seg_index(0, seg_steps[0], 2)),
+        pl.BlockSpec((1, bk, W), seg_index(0, seg_steps[0], pb)),
+        pl.BlockSpec((1, bk, W), seg_index(0, seg_steps[0], 2 * pb)),
     ]
     operands += [qkv, qkv]
     for j, f in enumerate(feats):
         in_specs += [
-            pl.BlockSpec((1, bk, d), seg_index(seg_offs[1 + j],
+            pl.BlockSpec((1, bk, W), seg_index(seg_offs[1 + j],
                                                seg_steps[1 + j], 0)),
-            pl.BlockSpec((1, bk, d), seg_index(seg_offs[1 + j],
-                                               seg_steps[1 + j], 1)),
+            pl.BlockSpec((1, bk, W), seg_index(seg_offs[1 + j],
+                                               seg_steps[1 + j], pb)),
         ]
         operands += [f, f]
 
@@ -1079,19 +1108,19 @@ def flash_nomax_packed(qkv, feats=(), num_heads: int = 1, *,
         bytes_accessed=(qkv.size + sum(f.size for f in feats)
                         + b * s * H * d) * qkv.dtype.itemsize,
     )
-    kern = functools.partial(_kernel_nomax_packed, H=H, d=d, n_segs=n_segs,
+    kern = functools.partial(_kernel_nomax_packed, g=g, d=d, n_segs=n_segs,
                              seg_offs=seg_offs, sm_scale=float(sm_scale),
                              norm_eps=norm_eps, zero_sink=int(zero_sink),
                              n_k=n_k, chains=chains)
     return pl.pallas_call(
         kern,
-        grid=(b, H, n_q, n_k),
+        grid=(b, H // g, n_q, n_k),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, bq, d), q_index),
+        out_specs=pl.BlockSpec((1, bq, W), q_index),
         out_shape=_out_struct((b, s, H * d), qkv.dtype, qkv),
         scratch_shapes=[
-            pltpu.VMEM((bq, d), jnp.float32),     # acc
-            pltpu.VMEM((bq, 128), jnp.float32),   # denom
+            pltpu.VMEM((bq, W), jnp.float32),   # acc (g heads side by side)
+            pltpu.VMEM((bq, W), jnp.float32),   # per-head denom, broadcast d
         ],
         cost_estimate=cost,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2 ** 20),
