@@ -153,6 +153,40 @@ def test_dp_serving_sampler_runs_packed_kernels(interpret_kernels,
     assert diff.max() <= 1, f"kernel/composite images diverge ({diff.max()})"
 
 
+def test_nomax_packed_kernel_inside_shard_map(interpret_kernels,
+                                              monkeypatch):
+    """flash_nomax_packed (VIVID_NOMAX_PACKED=1 forward schedule) under a
+    2-shard data shard_map, reached THROUGH the packed dispatch, equals the
+    replicated XLA composite — if the pipelined schedule ever becomes the
+    serving default, the DP shard_map serving path must keep it live."""
+    import vivid_tpu.kernels.flash as flash_mod
+    from vivid_tpu.kernels.attention import (_xla_xattn_from_packed,
+                                             xattn_from_packed)
+    monkeypatch.setenv("VIVID_NOMAX_PACKED", "1")
+    calls = []
+    orig = flash_mod.flash_nomax_packed
+    monkeypatch.setattr(flash_mod, "flash_nomax_packed",
+                        lambda *a, **k: calls.append(k) or orig(*a, **k))
+    mesh = _mesh_1d(2)
+    B, S, Sf, H, D = 2, 128, 128, 4, 32   # gate-valid: d=32 needs H%4==0
+    key = jax.random.PRNGKey(7)
+    qkv = jax.random.normal(key, (B, S, 3 * H * D), jnp.float32)
+    feats = tuple(jax.random.normal(jax.random.fold_in(key, i + 1),
+                                    (B, Sf, 2 * H * D), jnp.float32)
+                  for i in range(2))
+    fn = jax.jit(jax.shard_map(
+        lambda x, f0, f1: xattn_from_packed(x, (f0, f1), H),
+        mesh=mesh, in_specs=P("data"), out_specs=P("data"),
+        check_vma=False))
+    sh = NamedSharding(mesh, P("data"))
+    args = [jax.device_put(a, sh) for a in (qkv, *feats)]
+    got = np.asarray(fn(*args))
+    assert calls and all(kw.get("interpret") for kw in calls), \
+        "flash_nomax_packed did not engage inside the shard_map dispatch"
+    want = np.asarray(_xla_xattn_from_packed(qkv, feats, (), H, 1e-4))
+    np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
+
+
 def test_nomax_kernel_inside_shard_map(interpret_kernels):
     """flash_nomax (the big-S SR serving kernel) under a 2-shard data
     shard_map equals the replicated einsum reference — on real pods the TP
