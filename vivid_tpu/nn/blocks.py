@@ -96,18 +96,22 @@ def _qkv_perm(num_heads: int, d: int, parts: int) -> np.ndarray:
 
 
 def _attn_dot() -> bool:
-    """When set, the 1x1 attention convs (qkv / x_attn_kv / attn_proj) on the
-    packed path run as dots over the flattened [B, S, C] token axis instead
-    of 1x1 convs on [B, H, W, C]. Rationale: XLA assigns conv outputs
-    batch-in-sublanes layouts ({3,0,2,1}) while the packed Pallas custom
-    calls require row-major {2,1,0} — with convs on both sides of the
-    kernel, every attention block pays whole-tensor relayout copies in BOTH
-    passes (transpose_jvp + copy ≈ 11% of the flagship train-step trace).
-    Dots produce (and accept cotangents in) {2,1,0} natively. Numerics are
-    the same weight-normalized matmul either way (a 1x1 filter's norm and
-    fan_in equal its linear twin's). Chip A/B pending; flag defaults off."""
+    """When set (the DEFAULT), the 1x1 attention convs (qkv / x_attn_kv /
+    attn_proj) on the packed path run as dots over the flattened [B, S, C]
+    token axis instead of 1x1 convs on [B, H, W, C]. Rationale: XLA assigns
+    conv outputs batch-in-sublanes layouts ({3,0,2,1}) while the packed
+    Pallas custom calls require row-major {2,1,0} — with convs on both sides
+    of the kernel, every attention block pays whole-tensor relayout copies
+    in BOTH passes (transpose_jvp + copy ≈ 11% of the flagship train-step
+    trace). Dots produce (and accept cotangents in) {2,1,0} natively.
+    Numerics are the same weight-normalized matmul either way (a 1x1
+    filter's norm and fan_in equal its linear twin's; pinned by
+    tests/test_attn_dot.py both ways). Chip A/B 2026-08-19 (logs/r4): fwd
+    80.4 -> 81.3 TF/s, guided 15.94 -> 16.15 img/s, ch64 train 91.5 -> 89.6
+    ms, flagship train ~213 -> 210.5 ms — a consistent ~1-2% win on every
+    surface. VIVID_ATTN_DOT=0 restores the conv formulation."""
     import os
-    return os.environ.get("VIVID_ATTN_DOT", "0") == "1"
+    return os.environ.get("VIVID_ATTN_DOT", "1") == "1"
 
 
 def _as_linear(params_conv):
