@@ -303,7 +303,7 @@ def _packed_bwd_fits(s: int, extra_lens, num_heads: int, head_dim: int,
     io = 2 * (s * 3 * hd + sum(2 * sf * hd for sf in extra_lens)
               + s * hd) * itemsize
     bias = 2 * num_heads * s * sum(extra_lens[:n_bias] if n_bias else []) * 4
-    _, tiles = pick_q_chunk_bwd(s, sk, num_heads)
+    _, tiles, _ = pick_q_chunk_bwd(s, sk, num_heads)
     kv = num_heads * 2 * sk * head_dim * itemsize
     acc = num_heads * 2 * sk * head_dim * 4
     return io + bias + tiles + kv + acc <= _PACKED_VMEM_BUDGET

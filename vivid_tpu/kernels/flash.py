@@ -150,8 +150,32 @@ def pick_q_chunk(s: int, sk_total: int, num_heads: int, tiles: int = 2,
     return s
 
 
+def _bwd_interleave() -> int:
+    """VIVID_BWD_ILV=n (n > 1) splits a whole-row-ELIGIBLE backward into n
+    query chunks with STATICALLY UNROLLED bodies (separate buffers, unlike
+    the serial fori_loop chunking) — the round-5 schedule experiment: if
+    Mosaic's stack-buffer reuse is what serializes the whole-row backward's
+    dataflow-independent segment chains (docs/PERF.md "remaining
+    backward-kernel lead"), n independent half-size chains it cannot merge
+    should overlap MXU dots with VPU exp/tmp passes. Exact: same math, same
+    accumulation order as the fori_loop form. Trace-time flag (read when
+    the train step is traced, like VIVID_NOMAX_PACKED); default 1 (off)
+    until a chip A/B proves it. Total live-tile estimate is unchanged (n x 5 x (S/n) x
+    Sk), but if the allocator refuses cross-body reuse AND keeps per-head
+    buffers live too, the compile can exceed VMEM — that failure mode is
+    the experiment's point and is safe to probe (flag-gated)."""
+    import os
+    try:
+        return max(1, int(os.environ.get("VIVID_BWD_ILV", "1")))
+    except ValueError:
+        return 1
+
+
 def pick_q_chunk_bwd(s: int, sk_total: int, num_heads: int):
-    """(cq, live-tile byte estimate) for the packed BACKWARD kernels.
+    """(cq, live-tile byte estimate, static_chunks) for the packed BACKWARD
+    kernels. `static_chunks` tells the kernel to unroll the S//cq chunk
+    bodies statically instead of fori_loop-ing (only ever set inside the
+    whole-row-eligible envelope, via VIVID_BWD_ILV — see _bwd_interleave).
 
     Whole-row backward is chip-PROVEN across the H<=6 production envelope:
     ch=64 H=2 and flagship H=4 train steps at Sk=3S (5 x [1024, 3072] fp32
@@ -164,9 +188,12 @@ def pick_q_chunk_bwd(s: int, sk_total: int, num_heads: int):
     (e.g. SR H=8, estimated per-head: the conservative model that matches
     the forward's measured behavior)."""
     if num_heads <= 6 and 5 * s * sk_total * 4 <= 64 * 2 ** 20:
-        return s, 5 * s * sk_total * 4
+        ilv = _bwd_interleave()
+        if ilv > 1 and s % (64 * ilv) == 0:
+            return s // ilv, 5 * s * sk_total * 4, True
+        return s, 5 * s * sk_total * 4, False
     cq = pick_q_chunk(s, sk_total, num_heads, tiles=5)
-    return cq, num_heads * 5 * cq * sk_total * 4
+    return cq, num_heads * 5 * cq * sk_total * 4, False
 
 
 def _kernel_packed(x_ref, o_ref, *, H: int, d: int, cq: int, sm_scale: float,
@@ -442,7 +469,8 @@ def _norm_bwd(x_raw, dy, norm_eps: Optional[float]):
 def _kernel_packed_bwd_common(x_ref, f_refs, b_refs, g_ref, dx_ref, df_refs,
                               db_refs, *, H: int, d: int, cq: int,
                               sm_scale: float, norm_eps: Optional[float],
-                              zero_sink: int, no_max: bool = False):
+                              zero_sink: int, no_max: bool = False,
+                              static_chunks: bool = False):
     """Query-chunked backward shared by self- and cross-attention.
 
     Per head: normalize the k/v segments once (whole rows — [Sk_i, D] tiles
@@ -566,6 +594,14 @@ def _kernel_packed_bwd_common(x_ref, f_refs, b_refs, g_ref, dx_ref, df_refs,
                       for vr in v_raws))
         if S // cq == 1:
             dk_hats, dv_hats = q_chunk(0, init)  # static single chunk
+        elif static_chunks:
+            # Statically-unrolled chunk bodies (VIVID_BWD_ILV): separate
+            # buffers per body so their dot/exp chains stay independent for
+            # Mosaic's scheduler. Same accumulation order as the fori_loop.
+            carry = init
+            for i in range(S // cq):
+                carry = q_chunk(i, carry)
+            dk_hats, dv_hats = carry
         else:
             dk_hats, dv_hats = jax.lax.fori_loop(0, S // cq, q_chunk, init,
                                                  unroll=False)
@@ -586,11 +622,11 @@ def _kernel_packed_bwd_common(x_ref, f_refs, b_refs, g_ref, dx_ref, df_refs,
 
 def _kernel_packed_bwd(x_ref, g_ref, dx_ref, *, H: int, d: int, cq: int,
                        sm_scale: float, norm_eps: Optional[float],
-                       zero_sink: int):
+                       zero_sink: int, static_chunks: bool = False):
     _kernel_packed_bwd_common(x_ref, (), (), g_ref, dx_ref, (), (),
                               H=H, d=d, cq=cq, sm_scale=sm_scale,
                               norm_eps=norm_eps, zero_sink=zero_sink,
-                              no_max=True)
+                              no_max=True, static_chunks=static_chunks)
 
 
 def flash_fused_packed_bwd(qkv, g, num_heads: int, *,
@@ -604,11 +640,12 @@ def flash_fused_packed_bwd(qkv, g, num_heads: int, *,
     if sm_scale is None:
         sm_scale = 1.0 / (d ** 0.5)
     H = num_heads
-    cq, _ = pick_q_chunk_bwd(s, s, H)
+    cq, _, static_chunks = pick_q_chunk_bwd(s, s, H)
     assert s % cq == 0, (s, cq)
     kern = functools.partial(_kernel_packed_bwd, H=H, d=d, cq=cq,
                              sm_scale=float(sm_scale), norm_eps=norm_eps,
-                             zero_sink=int(zero_sink))
+                             zero_sink=int(zero_sink),
+                             static_chunks=static_chunks)
     cost = pl.CostEstimate(
         flops=10 * b * H * s * s * d,
         transcendentals=b * H * s * s,
@@ -630,7 +667,8 @@ def flash_fused_packed_bwd(qkv, g, num_heads: int, *,
 
 def _kernel_packed_xattn_bwd(x_ref, *rest, H: int, d: int, cq: int,
                              n_src: int, n_bias: int, sm_scale: float,
-                             norm_eps: Optional[float]):
+                             norm_eps: Optional[float],
+                             static_chunks: bool = False):
     f_refs = rest[:n_src]
     b_refs = rest[n_src:n_src + n_bias]
     g_ref = rest[n_src + n_bias]
@@ -643,7 +681,8 @@ def _kernel_packed_xattn_bwd(x_ref, *rest, H: int, d: int, cq: int,
     _kernel_packed_bwd_common(x_ref, f_refs, b_refs, g_ref, dx_ref, df_refs,
                               db_refs, H=H, d=d, cq=cq, sm_scale=sm_scale,
                               norm_eps=norm_eps, zero_sink=0,
-                              no_max=n_bias == 0)
+                              no_max=n_bias == 0,
+                              static_chunks=static_chunks)
 
 
 def flash_fused_packed_xattn_bwd(qkv, feats, g, num_heads: int, *,
@@ -660,11 +699,12 @@ def flash_fused_packed_xattn_bwd(qkv, feats, g, num_heads: int, *,
         sm_scale = 1.0 / (d ** 0.5)
     biases = tuple(biases) if biases else ()
     sk_total = s + sum(f.shape[1] for f in feats)
-    cq, _ = pick_q_chunk_bwd(s, sk_total, H)
+    cq, _, static_chunks = pick_q_chunk_bwd(s, sk_total, H)
     assert s % cq == 0, (s, cq)
     kern = functools.partial(_kernel_packed_xattn_bwd, H=H, d=d, cq=cq,
                              n_src=len(feats), n_bias=len(biases),
-                             sm_scale=float(sm_scale), norm_eps=norm_eps)
+                             sm_scale=float(sm_scale), norm_eps=norm_eps,
+                             static_chunks=static_chunks)
     cost = pl.CostEstimate(
         flops=10 * b * H * s * sk_total * d,
         transcendentals=b * H * s * sk_total,
