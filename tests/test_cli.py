@@ -82,3 +82,22 @@ def test_async_checkpoint(tmp_path):
     assert os.path.exists(path)
     with open(path, "rb") as f:
         assert np.array_equal(pickle.load(f)["state"]["x"], np.ones(4))
+
+
+def test_code_snapshot_provenance(tmp_path):
+    """Launch provenance (reference copies .py files into run_dir/code,
+    train_nvs.py:123-130): provenance.json + a source tarball of the package."""
+    import json
+    import os
+    import tarfile
+    from vivid_tpu.cli.train_nvs import save_code_snapshot
+    run_dir = str(tmp_path / "experiments")
+    os.makedirs(run_dir)
+    save_code_snapshot(run_dir)
+    with open(os.path.join(run_dir, "code", "provenance.json")) as f:
+        prov = json.load(f)
+    assert "argv" in prov and "python" in prov
+    with tarfile.open(os.path.join(run_dir, "code", "source.tar.gz")) as tar:
+        names = tar.getnames()
+    assert any(n.endswith("vivid_tpu/train/loop.py") for n in names)
+    assert not any("__pycache__" in n for n in names)

@@ -235,6 +235,63 @@ def test_deterministic_resume_bitwise(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
+def test_deterministic_resume_bitwise_with_single_image_mix(tmp_path):
+    """--deterministic now composes with --single-image-mix: both streams
+    (scene loader AND the synthetic single-image stream) fast-forward by
+    rows-consumed at resume, so kill+resume stays bitwise-identical."""
+    from vivid_tpu.train.loop import training_loop
+    data_dir = make_synthetic_dataset(str(tmp_path / "scenes"), num_scenes=4,
+                                      num_views=6, imsize=32)
+    img_dir = tmp_path / "singles"
+    img_dir.mkdir()
+    import PIL.Image
+    rs = np.random.RandomState(0)
+    for i in range(3):
+        PIL.Image.fromarray(rs.randint(0, 255, (48, 64, 3), np.uint8)).save(
+            img_dir / f"im{i}.png")
+
+    def run(run_dir, max_steps):
+        return training_loop(
+            run_dir=str(run_dir),
+            dataset_kwargs={"path": data_dir},
+            network_kwargs=dict(img_resolution=32, **TINY),
+            loss_kwargs={"P_mean": -0.8, "P_std": 1.6},
+            lr_kwargs={"ref_lr": 1e-3, "ref_batches": 100, "rampup_Mimg": 0},
+            batch_size=8, total_nimg=10_000_000,
+            status_nimg=None, samples_nimg=None, snapshot_nimg=None,
+            checkpoint_nimg=96, debug=True, deterministic=True,
+            single_image_mix=0.25, single_image_mix_path=str(img_dir),
+            max_steps=max_steps)
+
+    straight = run(tmp_path / "run_a", 4)
+    run(tmp_path / "run_b", 2)        # checkpoints training-state at 96 nimg
+    resumed = run(tmp_path / "run_b", 2)
+    assert int(straight.cur_nimg) == int(resumed.cur_nimg) == 4 * 8 * 6
+    for a, b in zip(jax.tree.leaves(straight.params),
+                    jax.tree.leaves(resumed.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_overlapped_checkpoint_gather(tmp_path):
+    """gather_async moves the device->host gather off-thread; the saved file
+    matches the snapshot values and consume=True releases the device copies."""
+    from vivid_tpu.core.checkpoint import CheckpointIO
+    tree = {"w": jnp.arange(8, dtype=jnp.float32), "n": jnp.asarray(3)}
+    snap = jax.jit(lambda t: jax.tree.map(jnp.copy, t))(tree)
+    io = CheckpointIO(state=snap)
+    path = str(tmp_path / "training-state-0000002.pt")
+    io.save(path, async_=True, gather_async=True, consume=True)
+    io.wait()
+    with open(path, "rb") as f:
+        data = pickle.load(f)
+    np.testing.assert_array_equal(data["state"]["w"], np.arange(8, dtype=np.float32))
+    assert data["state"]["n"] == 3
+    assert snap["w"].is_deleted()       # consume freed the device copy
+    np.testing.assert_array_equal(np.asarray(tree["w"]),
+                                  np.arange(8, dtype=np.float32))  # source untouched
+
+
 def test_hires_conv_checkpoint_name_tagging():
     """Conv outputs above REMAT_HIRES_AREA carry the mpconv_out_hires name
     (dropped by the save_dots policy -> recomputed in backward); smaller

@@ -103,6 +103,8 @@ def setup_training_config(preset="vivid-base", **opts):
     c.status_nimg = opts.get("status") or None
     c.samples_nimg = opts.get("samples") or None
     c.metrics_nimg = opts.get("metrics") or None
+    c.metrics_list = ([m for m in opts.get("metrics_list", "").split(",") if m]
+                      or None)
     c.snapshot_nimg = opts.get("snapshot") or None
     c.checkpoint_nimg = opts.get("checkpoint") or None
     c.seed = opts.get("seed", 0)
@@ -128,6 +130,56 @@ def print_training_config(run_dir, c):
     dist.print0()
 
 
+def save_code_snapshot(run_dir):
+    """Run-provenance snapshot at launch (the reference copies every .py into
+    run_dir/code/, train_nvs.py:123-130): records provenance.json (argv, git
+    revision + dirty flag, jax version) and a source tarball of the vivid_tpu
+    package so any run can be reproduced from its run dir alone."""
+    import sys
+    import tarfile
+    import time as _time
+
+    code_dir = os.path.join(run_dir, "code")
+    os.makedirs(code_dir, exist_ok=True)
+    import vivid_tpu
+    pkg_dir = os.path.dirname(os.path.abspath(vivid_tpu.__file__))
+    prov = {"argv": list(sys.argv), "launch_time": _time.time(),
+            "python": sys.version.split()[0]}
+    try:
+        import jax
+        prov["jax_version"] = jax.__version__
+    except Exception:
+        pass
+    try:
+        import subprocess
+        repo = os.path.dirname(pkg_dir)
+        rev = subprocess.run(["git", "-C", repo, "rev-parse", "HEAD"],
+                             capture_output=True, text=True, timeout=10)
+        if rev.returncode == 0:
+            prov["git_rev"] = rev.stdout.strip()
+            dirty = subprocess.run(["git", "-C", repo, "status", "--porcelain"],
+                                   capture_output=True, text=True, timeout=10)
+            prov["git_dirty"] = bool(dirty.stdout.strip())
+    except Exception:
+        pass
+    with open(os.path.join(code_dir, "provenance.json"), "wt") as f:
+        json.dump(prov, f, indent=2)
+
+    def _keep(info):
+        name = os.path.basename(info.name)
+        if "__pycache__" in info.name or name.endswith((".pyc", ".so")):
+            return None
+        return info
+
+    with tarfile.open(os.path.join(code_dir, "source.tar.gz"), "w:gz") as tar:
+        tar.add(pkg_dir, arcname="vivid_tpu", filter=_keep)
+        for entry in ("train_nvs.py", "generate_images.py",
+                      "calculate_metrics.py", "bench.py"):
+            p = os.path.join(os.path.dirname(pkg_dir), entry)
+            if os.path.isfile(p):
+                tar.add(p, arcname=entry)
+
+
 def launch_training(run_dir, c):
     if dist.get_rank() == 0 and not os.path.isdir(run_dir):
         dist.print0("Creating output directory...")
@@ -135,6 +187,7 @@ def launch_training(run_dir, c):
     if dist.get_rank() == 0:
         with open(os.path.join(run_dir, "training_options.json"), "wt") as f:
             json.dump(c, f, indent=2)
+        save_code_snapshot(run_dir)
     dist.barrier("launch")
     Logger(file_name=os.path.join(run_dir, "log.txt"), file_mode="a",
            should_flush=True)
@@ -184,6 +237,7 @@ def launch_training(run_dir, c):
 @click.option("--status", help="Interval of status prints", metavar="NIMG", type=parse_nimg, default="960", show_default=True)
 @click.option("--samples", help="Interval of sample generation", metavar="NIMG", type=parse_nimg, default="9600", show_default=True)
 @click.option("--metrics", help="Interval of metrics prints", metavar="NIMG", type=parse_nimg, default=None)
+@click.option("--metrics-list", help="Comma-separated metrics for in-training evals (default: fid,fd_dinov2,joint_fid,joint_fd_dinov2,psnr)", metavar="LIST", type=str, default="")
 @click.option("--snapshot", help="Interval of network snapshots", metavar="NIMG", type=parse_nimg, default="10000", show_default=True)
 @click.option("--checkpoint", help="Interval of training checkpoints", metavar="NIMG", type=parse_nimg, default="10000", show_default=True)
 @click.option("--slice", help="Train in slices of this many nimg", metavar="NIMG", type=parse_nimg, default=None)

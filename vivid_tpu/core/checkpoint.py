@@ -14,6 +14,7 @@ load (the trainer re-shards params onto its mesh).
 import os
 import pickle
 import re
+import time
 from typing import Optional
 
 import numpy as np
@@ -37,20 +38,61 @@ class CheckpointIO:
     def __init__(self, **objects):
         self.objects = objects
 
-    def _gather(self):
+    def _gather(self, consume: bool = False):
         out = {}
         for name, obj in self.objects.items():
-            if hasattr(obj, "state_dict"):
-                out[name] = _to_numpy(obj.state_dict())
+            tree = obj.state_dict() if hasattr(obj, "state_dict") else obj
+            if consume:
+                # Leaf-by-leaf fetch that deletes each device buffer once its
+                # host copy lands, returning HBM progressively while training
+                # continues (only safe on trees this holder exclusively owns).
+                def fetch(x):
+                    if isinstance(x, jax.Array):
+                        host = np.asarray(jax.device_get(x))
+                        try:
+                            x.delete()
+                        except Exception:
+                            pass
+                        return host
+                    return x
+                out[name] = jax.tree.map(fetch, tree)
             else:
-                out[name] = _to_numpy(obj)
+                out[name] = _to_numpy(tree)
         return out
 
-    def save(self, path: str, async_: bool = False):
+    def save(self, path: str, async_: bool = False, gather_async: bool = False,
+             consume: bool = False):
         """Write the checkpoint (process 0). With async_=True the device->host
         gather happens synchronously (consistent snapshot) but the pickle IO
         runs in a background thread — the Orbax-async analogue for this
-        plain-pickle format."""
+        plain-pickle format.
+
+        gather_async=True additionally moves the device->host gather itself
+        into the background thread, so the caller returns immediately and
+        training overlaps the transfer (the reference stalls stepping for the
+        whole torch.save, training_loop.py:498-501). The caller must hand this
+        holder state whose device buffers stay valid for the transfer's
+        lifetime (i.e. an independent device-side snapshot, not live
+        donated-buffers state); consume=True then frees each device buffer as
+        its host copy lands."""
+        if gather_async:
+            self._needs_barrier = True  # all ranks re-sync in wait()
+            if dist.get_rank() != 0:
+                return
+            import threading
+
+            def _gather_write():
+                t0 = time.time()
+                data = self._gather(consume=consume)
+                tmp = path + ".tmp"
+                with open(tmp, "wb") as f:
+                    pickle.dump(data, f)
+                os.replace(tmp, path)
+                self.last_save_seconds = time.time() - t0
+
+            self._last_writer = threading.Thread(target=_gather_write, daemon=True)
+            self._last_writer.start()
+            return
         data = self._gather()
         if dist.get_rank() == 0:
             def _write():
@@ -70,6 +112,9 @@ class CheckpointIO:
         writer = getattr(self, "_last_writer", None)
         if writer is not None:
             writer.join()
+        if getattr(self, "_needs_barrier", False):
+            self._needs_barrier = False
+            dist.barrier("checkpoint-save")
 
     def load(self, path: str):
         with open(path, "rb") as f:

@@ -49,35 +49,41 @@ class SingleImages:
     def __len__(self):
         return len(self.paths)
 
-    def _next_key(self):
-        self._key_idx += 1
-        return jax.random.fold_in(self.key, self._key_idx)
-
-    def _rotated_view(self, image_f32, K, max_pitch, max_yaw, max_roll):
+    def _rotated_view(self, key_idx, image_f32, K, max_pitch, max_yaw, max_roll):
         ext = np.concatenate([np.eye(3), np.zeros((3, 1))], 1).astype(np.float32)
         img, ext2 = random_camera_rotation(
-            self._next_key(), jnp.asarray(image_f32), jnp.asarray(ext),
-            jnp.asarray(K), max_angle_pitch=max_pitch, max_angle_yaw=max_yaw,
-            max_angle_roll=max_roll)
+            jax.random.fold_in(self.key, key_idx), jnp.asarray(image_f32),
+            jnp.asarray(ext), jnp.asarray(K), max_angle_pitch=max_pitch,
+            max_angle_yaw=max_yaw, max_angle_roll=max_roll)
         return np.asarray(img), np.asarray(ext2)
 
-    def row(self) -> dict:
-        """One synthetic multi-view row matching the collate schema."""
+    def sample_plan(self, scene=None) -> list:
+        """All RNG draws for one row WITHOUT touching pixels (the collate
+        plan/materialize contract — lets a deterministic-resume loader
+        fast-forward the sampling stream at draw cost, no decode/warp)."""
         path = self.rng.choice(self.paths)
+        # Two magnitude regimes like the reference (datautils.py:173-180).
+        angles = (8.3, 8.3, 3.5) if self.rng.random() < 0.5 else (5.5, 5.5, 0.0)
+        key0 = self._key_idx
+        self._key_idx += self.num_sources + 1
+        return [(path, angles, key0)]
+
+    def materialize(self, scene, plan: list) -> list:
+        return [self._planned_row(*p) for p in plan]
+
+    def row(self) -> dict:
+        return self._planned_row(*self.sample_plan()[0])
+
+    def _planned_row(self, path, angles, key0) -> dict:
+        """One synthetic multi-view row matching the collate schema."""
         img = load_rgb(path).astype(np.float32)
         h, w = img.shape[:2]
         f = 0.6
         K = np.array([[w * f, 0, w * 0.5], [0, h * f, h * 0.5], [0, 0, 1.0]],
                      np.float32)
-        # Two magnitude regimes like the reference (datautils.py:173-180).
-        if self.rng.random() < 0.5:
-            angles = (8.3, 8.3, 3.5)
-        else:
-            angles = (5.5, 5.5, 0.0)
-
         views, exts = [], []
-        for _ in range(self.num_sources + 1):  # n sources + 1 target
-            v, e = self._rotated_view(img, K, *angles)
+        for i in range(self.num_sources + 1):  # n sources + 1 target
+            v, e = self._rotated_view(key0 + 1 + i, img, K, *angles)
             views.append(v)
             exts.append(e)
 

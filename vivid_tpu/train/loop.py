@@ -157,8 +157,6 @@ def training_loop(
     main_batch = per_process_batch
     single_ds = None
     if single_image_mix:
-        assert not deterministic, \
-            "deterministic mode does not support single_image_mix yet"
         n_single = min(per_process_batch - 1,
                        max(1, int(per_process_batch * single_image_mix)))
         from vivid_tpu.data.single_images import SingleImages
@@ -260,9 +258,14 @@ def training_loop(
         num_threads=1 if deterministic else None,
         skip_rows=steps_prev * main_batch if deterministic else 0)
     if single_ds is not None:
+        # The single-image stream has its own plan/materialize split, so in
+        # deterministic mode it fast-forwards by its rows-consumed (one
+        # n_single group per completed step) exactly like the main loader.
         single_loader = BatchLoader(iter(single_ds), single_ds,
                                     batch_size=n_single, prefetch=1,
-                                    num_threads=1)
+                                    num_threads=1,
+                                    skip_rows=steps_prev * n_single
+                                    if deterministic else 0)
 
     # FSDP (ZeRO-3) shards params/optimizer/EMA state over the 'data' axis;
     # default keeps the reference's DDP memory model (replicated state).
@@ -382,19 +385,47 @@ def training_loop(
 
     ckpt_holder = {"io": None}
 
+    # Overlapped checkpointing: at a checkpoint tick the live state is cloned
+    # device-side (one jitted identity program — HBM-to-HBM, milliseconds),
+    # then the 5 GB-class device->host gather + pickle run in a background
+    # thread while stepping continues. The clone is mandatory for overlap:
+    # jit_train_step donates the state buffers, so the NEXT step invalidates
+    # every live leaf. VIVID_SYNC_CKPT=1 restores the synchronous gather
+    # (HBM-tight runs where a transient extra state copy would OOM).
+    overlap_ckpt = os.environ.get("VIVID_SYNC_CKPT", "0") != "1"
+    snapshot_state = jax.jit(lambda s: jax.tree.map(jnp.copy, s))
+
     def save_training_state(cur_nimg, st):
         fname = os.path.join(run_dir, f"training-state-{cur_nimg // 1000:07d}.pt")
         if ckpt_holder["io"] is not None:
             ckpt_holder["io"].wait()  # one in-flight async write at a time
-        holder = CheckpointIO(state=_state_to_dict(st))
-        holder.save(fname, async_=True)
+        snap, consume = None, False
+        if overlap_ckpt:
+            try:
+                snap = snapshot_state(st)
+                # Force the clone to execute NOW (the tunnel runs programs
+                # lazily); afterwards the live buffers are free to be donated.
+                np.asarray(snap.adam_step)
+                consume = True
+            except Exception as err:  # e.g. no HBM headroom for the clone
+                dist.print0(f"Checkpoint clone failed ({err}); "
+                            f"falling back to synchronous gather")
+                snap = None
+        if snap is not None:
+            holder = CheckpointIO(state=_state_to_dict(snap))
+            holder.save(fname, async_=True, gather_async=True, consume=consume)
+        else:
+            holder = CheckpointIO(state=_state_to_dict(st))
+            holder.save(fname, async_=True)
         ckpt_holder["io"] = holder
         # Divergence detector after every checkpoint save, like the
         # reference's check_ddp_consistency (training_loop.py:501).
         if dist.get_world_size() > 1:
             from vivid_tpu.core.consistency import check_param_consistency
             check_param_consistency(st.params, "net params")
-        dist.print0(f"Saved {fname}")
+        dist.print0(f"Saved {fname}"
+                    + (" (gather+write overlapped with training)"
+                       if snap is not None else ""))
 
     def save_snapshots(cur_nimg, st):
         if dist.get_rank() != 0:
