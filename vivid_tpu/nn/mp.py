@@ -11,6 +11,7 @@ such instead of grouped convolutions (identical results, far cheaper on VPU).
 """
 
 import math
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -125,7 +126,10 @@ def _normalized_weight(w, gain):
 # hires ones (recomputed in backward). At SR resolution the 256px level-0
 # activations dominate residency ([B,256,256,64] per conv across the stack
 # — save_dots used to OOM 16GB HBM there); everything at <=128px is kept.
-REMAT_HIRES_AREA = 128 * 128
+# VIVID_REMAT_HIRES_AREA overrides the threshold (HBM-headroom experiments:
+# 64*64=4096 drops the 128px class too, trading recompute for residency).
+REMAT_HIRES_AREA = int(os.environ.get("VIVID_REMAT_HIRES_AREA",
+                                      str(128 * 128)))
 
 
 def mp_conv_apply(params, x, gain=1.0):

@@ -322,17 +322,47 @@ def training_loop(
         out = add_depth(depth_model, flat_raw, flat, inv_norm=model_cfg.depth_input)
         return out.reshape((b, s) + out.shape[1:])
 
+    # Pixel->latent encode runs ON DEVICE in one jitted program (host-side
+    # eager encode_latents cost two dispatches + an f32 upload per step).
+    # VIVID_UPLOAD_DTYPE=float16|uint8 additionally compacts the host->device
+    # image transfer (2x/4x fewer bytes; float16 is exact for box-filtered
+    # uint8 pixels — quarters up to 512 — uint8 rounds). Default float32
+    # keeps today's bit-exact behavior.
+    upload_dtype = os.environ.get("VIVID_UPLOAD_DTYPE", "float32")
+
+    def _compact_img(x):
+        if upload_dtype == "float16":
+            return np.asarray(x, np.float16)
+        if upload_dtype == "uint8":
+            return np.asarray(np.clip(np.rint(x), 0, 255), np.uint8)
+        return np.asarray(x)
+
+    @jax.jit
+    def _encode_batch(src_raw, tgt_raw, geometry):
+        return {"src": encoder.encode_latents(src_raw),
+                "tgt": encoder.encode_latents(tgt_raw),
+                "geometry": geometry}
+
     def device_batch(raw):
         if single_loader is not None:
             extra = next(single_loader)
             raw = {k: np.concatenate([raw[k], extra[k]], axis=0) for k in raw}
-        src = encoder.encode_latents(raw["src_image"])
-        src = with_depth(src, raw["src_image"])
-        batch = {
-            "src": src,
-            "tgt": encoder.encode_latents(raw["tgt_image"]),
-            "geometry": jnp.asarray(raw["geometry"]),
-        }
+        if depth_model is not None:
+            # Depth conditioning path: keep the host-side encode (add_depth
+            # mixes host/device work and is not worth fusing here).
+            src = encoder.encode_latents(raw["src_image"])
+            src = with_depth(src, raw["src_image"])
+            batch = {
+                "src": src,
+                "tgt": encoder.encode_latents(raw["tgt_image"]),
+                "geometry": jnp.asarray(raw["geometry"]),
+            }
+        else:
+            batch = {
+                "src": _compact_img(raw["src_image"]),
+                "tgt": _compact_img(raw["tgt_image"]),
+                "geometry": np.asarray(raw["geometry"]),
+            }
         if train_cfg.num_accum > 1:
             # [B, ...] -> [rounds, B/rounds, ...]; each round stays sharded
             # over the data axis of the smaller microbatch.
@@ -342,8 +372,12 @@ def training_loop(
                                     + x.shape[1:]), batch)
             from jax.sharding import NamedSharding, PartitionSpec as P
             sh = NamedSharding(mesh, P(None, "data"))
-            return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
-        return shard_batch(mesh, batch)
+            batch = jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+        else:
+            batch = shard_batch(mesh, batch)
+        if depth_model is None:
+            batch = _encode_batch(batch["src"], batch["tgt"], batch["geometry"])
+        return batch
 
     # Startup FLOPs report (compiles the step once; cache reused by training).
     first_batch = device_batch(next(loader))
@@ -510,17 +544,39 @@ def training_loop(
             return False
         return cur // interval != prev // interval or cur == start_nimg == 0
 
+    # nimg is tracked host-side (it advances by exactly nimg_per_step per
+    # step): reading the device counter every iteration would force a
+    # host<->device sync per step, serializing dispatch — with the host
+    # counter the loop runs ahead and uploads/steps pipeline until the next
+    # tick's stats fetch. The device-side state.cur_nimg stays authoritative
+    # for checkpoints/resume. Run-ahead is BOUNDED: once more than
+    # VIVID_RUNAHEAD steps are in flight, the loop fetches one scalar from
+    # the oldest un-synced step, forcing device execution up to there. An
+    # unbounded lazy queue is fragile on high-latency transports (and grows
+    # host memory with queued uploads); depth 8 keeps upload/compute/fetch
+    # fully overlapped while never queueing a whole tick's worth of work.
+    runahead = int(os.environ.get("VIVID_RUNAHEAD", "8"))
+    unsynced = 0
+    cur_nimg = int(state.cur_nimg)
     try:
         while True:
-            cur_nimg = int(state.cur_nimg)
             done = cur_nimg >= stop_at_nimg or (max_steps is not None
                                                 and steps_done >= max_steps)
             prev_nimg = cur_nimg - nimg_per_step
 
             if interval_hit(status_nimg, cur_nimg, prev_nimg) or done:
-                for s in pending_stats:  # one host sync per tick, not per step
-                    stats_mod.report_dict(s)
+                if pending_stats:
+                    # ONE stacked fetch for the whole tick: per-scalar fetches
+                    # cost a host<->device round trip each (100 steps x 4
+                    # stats dominated tick time on high-latency transports).
+                    stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                           *pending_stats)
+                    host_vals = jax.device_get(stacked)
+                    for i in range(len(pending_stats)):
+                        stats_mod.report_dict(
+                            {k: v[i] for k, v in host_vals.items()})
                 pending_stats = []
+                unsynced = 0  # the tick fetch synced every in-flight step
                 cur_time = time.time()
                 tick_time = cur_time - prev_status_time
                 stats_mod.report0("Progress/kimg", cur_nimg / 1e3)
@@ -618,7 +674,14 @@ def training_loop(
             # executes (dispatch is async; the transfer rides alongside).
             pending_batch = fetch_batch()
             pending_stats.append(step_stats)
+            unsynced += 1
+            if runahead > 0 and unsynced > runahead:
+                # Tiny scalar fetch: blocks only until step (i - runahead)
+                # has executed; dispatch of newer steps rides on top.
+                np.asarray(pending_stats[-1 - runahead]["Loss/loss"])
+                unsynced -= 1
             steps_done += 1
+            cur_nimg += nimg_per_step
             cumulative_training_time += time.time() - batch_start
             if pbar is not None:
                 pbar.update(nimg_per_step)
