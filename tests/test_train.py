@@ -292,6 +292,73 @@ def test_overlapped_checkpoint_gather(tmp_path):
                                   np.arange(8, dtype=np.float32))  # source untouched
 
 
+def test_upload_dtype_float16(tmp_path, monkeypatch):
+    """VIVID_UPLOAD_DTYPE=float16 compacts the host->device image transfer;
+    box-filtered uint8 pixels are float16-exact, so one step must produce a
+    finite loss identical in kind to the f32 default."""
+    from vivid_tpu.train.loop import training_loop
+    data_dir = make_synthetic_dataset(str(tmp_path / "scenes"), num_scenes=2,
+                                      num_views=6, imsize=32)
+    monkeypatch.setenv("VIVID_UPLOAD_DTYPE", "float16")
+    state = training_loop(
+        run_dir=str(tmp_path / "run"),
+        dataset_kwargs={"path": data_dir},
+        network_kwargs=dict(img_resolution=32, **TINY),
+        loss_kwargs={"P_mean": -0.8, "P_std": 1.6},
+        lr_kwargs={"ref_lr": 1e-3, "ref_batches": 100, "rampup_Mimg": 0},
+        batch_size=4,
+        total_nimg=10_000_000,
+        status_nimg=24,
+        samples_nimg=None,
+        snapshot_nimg=None,
+        checkpoint_nimg=None,
+        debug=True,
+        max_steps=1,
+    )
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree.leaves(state.params))
+
+
+def test_suspend_saves_checkpoint(tmp_path, monkeypatch):
+    """A SIGTERM-suspend saves a training-state checkpoint at the exact exit
+    point even when no checkpoint interval boundary was crossed (preemption
+    tolerance; the reference only ever saves on interval ticks,
+    training_loop.py:498-501)."""
+    from vivid_tpu.core import dist
+    from vivid_tpu.train.loop import training_loop
+    data_dir = make_synthetic_dataset(str(tmp_path / "scenes"), num_scenes=4,
+                                      num_views=6, imsize=32)
+    run_dir = str(tmp_path / "run")
+    calls = {"n": 0}
+
+    def fake_suspend():
+        calls["n"] += 1
+        return calls["n"] > 2  # "SIGTERM" lands before the 3rd status tick
+
+    monkeypatch.setattr(dist, "should_suspend", fake_suspend)
+    training_loop(
+        run_dir=run_dir,
+        dataset_kwargs={"path": data_dir},
+        network_kwargs=dict(img_resolution=32, **TINY),
+        loss_kwargs={"P_mean": -0.8, "P_std": 1.6},
+        lr_kwargs={"ref_lr": 1e-3, "ref_batches": 100, "rampup_Mimg": 0},
+        batch_size=8,
+        total_nimg=10_000_000,
+        status_nimg=48,          # tick (and suspend check) every step
+        samples_nimg=None,
+        snapshot_nimg=None,
+        checkpoint_nimg=1_000_000,  # interval never hit in this run
+        debug=True,
+        max_steps=10,            # safety net if the suspend path breaks
+    )
+    files = [f for f in os.listdir(run_dir) if f.startswith("training-state-")]
+    assert files, "suspend did not save a training-state checkpoint"
+    with open(os.path.join(run_dir, files[0]), "rb") as f:
+        data = pickle.load(f)
+    # Two steps ran before the suspend tick: cur_nimg == 2 * 8 * 6.
+    assert int(np.asarray(data["state"]["cur_nimg"])) == 96
+
+
 def test_hires_conv_checkpoint_name_tagging():
     """Conv outputs above REMAT_HIRES_AREA carry the mpconv_out_hires name
     (dropped by the save_dots policy -> recomputed in backward); smaller

@@ -557,6 +557,7 @@ def training_loop(
     # fully overlapped while never queueing a whole tick's worth of work.
     runahead = int(os.environ.get("VIVID_RUNAHEAD", "8"))
     unsynced = 0
+    suspend_save = False  # set at a suspend/stop tick; forces a checkpoint
     cur_nimg = int(state.cur_nimg)
     try:
         while True:
@@ -632,6 +633,11 @@ def training_loop(
                     dist.request_suspend()
                 if dist.should_stop() or dist.should_suspend():
                     done = True
+                    # Preemption tolerance: a SIGTERM-suspend (or slice end)
+                    # saves a training-state checkpoint at the exact exit
+                    # point instead of losing everything since the last
+                    # interval checkpoint. Respects --checkpoint=0 (disabled).
+                    suspend_save = checkpoint_nimg is not None
 
             # Periodic work reads the state host-side; under FSDP the gather
             # (host_state) is collective, so run it BEFORE any rank gating.
@@ -643,7 +649,8 @@ def training_loop(
                 and cur_nimg != start_nimg,
                 snapshot=interval_hit(snapshot_nimg, cur_nimg, prev_nimg)
                 and cur_nimg != start_nimg,
-                checkpoint=interval_hit(checkpoint_nimg, cur_nimg, prev_nimg)
+                checkpoint=(interval_hit(checkpoint_nimg, cur_nimg, prev_nimg)
+                            or suspend_save)
                 and cur_nimg != start_nimg,
             )
             hs = host_state() if any(hits.values()) else state
