@@ -105,6 +105,24 @@ def test_generate_sr_cascade(env):
     assert b.tgt.shape[1] == 32               # sr_ fields used for src/tgt
 
 
+def test_generate_sr_cascade_vanilla_sr(env):
+    """Dual-source base + SINGLE-source SR — the shipped vivid-sr shape
+    (experiments/log.txt:720-792 is vanilla). The dual collate emits 2-source
+    SR conditioning; generate must slice it down to the SR model's own
+    num_sources (label width 40 -> 20) instead of crashing in emb_label."""
+    sr_cfg = PrecondConfig(img_resolution=32, num_sources=1, super_res=True,
+                           source_label_dim=20, target_label_dim=20,
+                           noisy_sr=0.25, **TINY)
+    sr_snap = os.path.join(env["root"], "sr-vanilla-snapshot.pkl")
+    save_snapshot(sr_snap, precond_init(jax.random.PRNGKey(4), sr_cfg), sr_cfg)
+    it = generate_images_nvs(net=env["snap"], sr_model=sr_snap,
+                             seeds=range(0, 2), max_batch_size=2,
+                             datakwargs={"path": env["data"]}, num_steps=2,
+                             verbose=False)
+    b = [b for b in it if b.images is not None][0]
+    assert b.images.shape == (2, 32, 32, 3)
+
+
 def test_generate_vanilla_mode(env):
     cfg = PrecondConfig(img_resolution=16, num_sources=1,
                         source_label_dim=20, target_label_dim=20, **TINY)

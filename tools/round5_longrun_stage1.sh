@@ -3,7 +3,7 @@
 # logs/r5/smoke_async_ckpt.log — 60 steps, overlapped checkpoints verified
 # finite; final loop.py re-smoked in logs/r5/smoke_verify3.log).
 #
-# The REAL training run through the product CLI: ch=64 dual-source, b=32,
+# The REAL training run through the product CLI: ch=64 dual-source, b=32, 2048-scene synthetic set,
 # 20k steps (3.84M nimg at nimg_mult=6) on the v5e chip with status, sample,
 # metric (random-weight JAX InceptionV3 fid + stub_fid + joint_stub_fid +
 # psnr), snapshot, and overlapped checkpoint ticks.

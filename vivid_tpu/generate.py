@@ -276,7 +276,24 @@ def generate_images_nvs(
                     if sr_model is not None:
                         sr_src_raw = raw["sr_src_image"][:n]
                         sr_tgt_raw = raw["sr_tgt_image"][:n]
-                        sr_geometry = jnp.asarray(raw["sr_geometry"][:n])
+                        sr_geometry_raw = raw["sr_geometry"][:n]
+                        # The collate emits SR conditioning with the BASE
+                        # model's source count; the shipped vivid-sr is
+                        # single-source (experiments/log.txt:720-792), so a
+                        # dual base + vanilla SR cascade must condition the
+                        # SR stage on the first source view only — the same
+                        # view the vanilla collate itself would pick. The
+                        # target label width follows (per-source geometry
+                        # concat: 2x20 -> 1x20).
+                        sr_ns = sr_model.cfg.num_sources
+                        if sr_src_raw.shape[1] != sr_ns:
+                            if sr_src_raw.shape[1] < sr_ns:
+                                raise ValueError(
+                                    f"SR model wants {sr_ns} source views but the "
+                                    f"collate provides {sr_src_raw.shape[1]}")
+                            sr_src_raw = sr_src_raw[:, :sr_ns]
+                            sr_geometry_raw = sr_geometry_raw[:, :sr_ns]
+                        sr_geometry = jnp.asarray(sr_geometry_raw)
                         sr_res = sr_model.cfg.img_resolution
                         sr_src = encoder.encode_latents(sr_src_raw)
                         sr_noise = seeded_normal(
