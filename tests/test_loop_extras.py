@@ -57,6 +57,32 @@ def test_fsdp_training_loop(data_dir, tmp_path):
                for x in jax.tree.leaves(state.params))
 
 
+def test_metrics_tick_recorded(data_dir, tmp_path):
+    """Metric-tick results must land in durable artifacts: the run-dir
+    metrics.jsonl and (via training_stats) a Metrics/ column in stats.jsonl,
+    not just the stdout log (training_loop.py:481-483)."""
+    import json
+    run_dir = str(tmp_path / "run")
+    calls = []
+
+    def fake_metrics(ema_params, cfg):
+        calls.append(1)
+        return {"stub_fid": 12.5, "psnr": 30.0 + len(calls)}
+
+    training_loop(
+        run_dir=run_dir,
+        dataset_kwargs={"path": data_dir},
+        network_kwargs=dict(TINY_NET),
+        samples_nimg=None, metrics_nimg=24, metrics_fn=fake_metrics,
+        max_steps=3, **{**FAST, "status_nimg": 24, "debug": False})
+    assert calls, "metrics_fn never fired"
+    rows = [json.loads(l) for l in open(os.path.join(run_dir, "metrics.jsonl"))]
+    assert rows and rows[0]["stub_fid"] == 12.5 and "nimg" in rows[0]
+    stats_rows = [json.loads(l) for l in open(os.path.join(run_dir, "stats.jsonl"))]
+    assert any("Metrics/psnr" in r for r in stats_rows), \
+        "Metrics/ keys missing from stats.jsonl"
+
+
 def test_sr_cascade_sample_grid(data_dir, tmp_path):
     sr_cfg = PrecondConfig(num_sources=2, super_res=True, noisy_sr=0.25,
                            **{**TINY_NET, "img_resolution": 32})

@@ -659,6 +659,17 @@ def training_loop(
             if hits["metrics"]:
                 results = metrics_fn(hs.emas[0], model_cfg)
                 dist.print0(f"Metrics: {results}")
+                # Record into training_stats (next status row of stats.jsonl)
+                # and a dedicated run-dir metrics.jsonl — durable eval curves,
+                # not just log-file prose (training_loop.py:481-483).
+                for k, v in results.items():
+                    stats_mod.report0(f"Metrics/{k}", float(v))
+                if run_dir is not None and dist.get_rank() == 0:
+                    with open(os.path.join(run_dir, "metrics.jsonl"), "at") as f:
+                        f.write(json.dumps(
+                            {"nimg": int(cur_nimg), "timestamp": time.time(),
+                             **{k: float(v) for k, v in results.items()}})
+                            + "\n")
                 if wandb_run is not None:
                     # Mirror metric results (training_loop.py:481-483).
                     wandb_run.log({f"metrics_{k}": float(v)
