@@ -111,6 +111,7 @@ def analyze(path, iters, top=40, srcmap=None, train_attrib=False):
     per_cat = collections.Counter()
     per_src = collections.Counter()
     per_class = collections.Counter()
+    per_copy_shape = collections.Counter()
     total = 0.0
     for e in ev:
         if e.get("ph") == "X" and e.get("pid") in tpu_pids and "dur" in e:
@@ -133,8 +134,14 @@ def analyze(path, iters, top=40, srcmap=None, train_attrib=False):
                 per_src[info[1] or "?"] += e["dur"]
             if train_attrib:
                 _, src, op_name = info
-                per_class[classify_train_op(name, e.get("args", {}), src,
-                                            op_name)] += e["dur"]
+                cls = classify_train_op(name, e.get("args", {}), src, op_name)
+                per_class[cls] += e["dur"]
+                if cls == "copy/layout":
+                    shape = (srcmap.get(name, ("?",))[0] or "?") if srcmap \
+                        else "?"
+                    per_copy_shape[(cat, shape[:64],
+                                    srcmap.get(name, ("", "?"))[1]
+                                    if srcmap else "?")] += e["dur"]
     print(f"\nTPU device time: {total / 1e3 / iters:.3f} ms/iter "
           f"({total / 1e3:.1f} ms over {iters})")
     if per_class:
@@ -149,6 +156,16 @@ def analyze(path, iters, top=40, srcmap=None, train_attrib=False):
                 and not cls.startswith("conv fwd") else ""
             print(f"  {dur / total * 100:5.1f}%  {dur / 1e3 / iters:8.3f} ms"
                   f"  {cls}{ratio}")
+    if per_copy_shape:
+        # The copy/layout residual audit (r4 verdict weak item 1): every op
+        # binned copy/layout, aggregated by (opcode family, operand shape,
+        # source line) so the pool's composition is visible, not just its sum.
+        pool = sum(per_copy_shape.values())
+        print(f"\ncopy/layout pool by (family, shape, src) — "
+              f"{pool / 1e3 / iters:.3f} ms/iter total:")
+        for (fam, shape, src), dur in per_copy_shape.most_common(25):
+            print(f"  {dur / pool * 100:5.1f}%  {dur / 1e3 / iters:8.3f} ms"
+                  f"  {fam:12s} {shape} {src}")
     print("\nby opcode family:")
     for name, dur in per_cat.most_common(20):
         print(f"  {dur / total * 100:5.1f}%  {dur / 1e3 / iters:8.3f} ms  {name}")
