@@ -35,6 +35,14 @@ def main():
                     help="per-device microbatch; smaller than --batch runs "
                     "gradient accumulation (reference batch_gpu_total math, "
                     "training_loop.py:213-217)")
+    ap.add_argument("--auto-layout", action="store_true",
+                    help="compile the step with compiler-chosen (AUTO) "
+                    "layouts for the train state and materialize the state "
+                    "in that layout before stepping. Probes whether the "
+                    "per-step f32 weight relayout copies (the dominant "
+                    "class of the 19.8 ms copy/layout pool in the r5 "
+                    "flagship train trace) disappear when params LIVE in "
+                    "the layout the convs want.")
     ap.add_argument("--no-wpack", action="store_true",
                     help="force width-packed level-0 convs OFF (ablation)")
     ap.add_argument("--wpack", action="store_true",
@@ -86,8 +94,9 @@ def main():
                        nimg_mult=nimg_mult, num_accum=num_accum)
     exps = tuple(float(std_to_exp(s) + 1) for s in tcfg.ema_stds)
     loss_cls = SRNVLoss if args.sr else NVLoss
-    step = jax.jit(make_train_step(loss_cls(P_mean=-0.8, P_std=1.6), cfg,
-                                   tcfg, exps), donate_argnums=0)
+    step_fn = make_train_step(loss_cls(P_mean=-0.8, P_std=1.6), cfg,
+                              tcfg, exps)
+    step = jax.jit(step_fn, donate_argnums=0)
     state = init_train_state(params, tcfg)
     key = jax.random.PRNGKey(1)
     res = cfg.img_resolution
@@ -99,6 +108,32 @@ def main():
         batch = jax.tree.map(
             lambda x: x.reshape((num_accum, x.shape[0] // num_accum)
                                 + x.shape[1:]), batch)
+
+    if args.auto_layout:
+        # AUTO layouts: let XLA pick the layout every train-state leaf should
+        # LIVE in (instead of the default row-major it must relayout from on
+        # every step), then materialize the state in exactly that layout.
+        # Donation aliases state-in to state-out, so the chosen layouts are
+        # stable across steps and the relayout copies should vanish from the
+        # steady-state profile.
+        from jax.experimental.layout import Format, Layout
+        auto = Format(Layout.AUTO)
+        jitted = jax.jit(step_fn, in_shardings=(auto, None, None),
+                         out_shardings=(auto, None), donate_argnums=0)
+        t0 = time.perf_counter()
+        compiled = jitted.lower(state, batch, jax.random.PRNGKey(2)).compile()
+        print(f"auto-layout compile: {time.perf_counter() - t0:.1f}s",
+              flush=True)
+        in_fmts = compiled.input_formats
+        state_fmts = in_fmts[0][0] if isinstance(in_fmts, tuple) \
+            and len(in_fmts) == 2 else in_fmts[0]
+        nondefault = sum(
+            1 for f in jax.tree.leaves(state_fmts)
+            if "{" in str(getattr(f, "layout", f)))
+        print(f"auto-layout: {nondefault}/{len(jax.tree.leaves(state_fmts))} "
+              f"state leaves got a compiler-chosen layout", flush=True)
+        state = jax.device_put(state, state_fmts)
+        step = compiled
 
     t0 = time.perf_counter()
     state, st = step(state, batch, jax.random.PRNGKey(2))
