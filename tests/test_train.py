@@ -95,6 +95,33 @@ def test_train_step_sharded_matches_single_device():
     np.testing.assert_allclose(w_a, w_b, rtol=1e-4, atol=1e-6)
 
 
+def test_jit_train_step_auto_layout_matches():
+    """VIVID_AUTO_LAYOUT plumbing: the AOT AUTO-layout wrapper
+    (jit_train_step(auto_layout=True) -> _AutoLayoutStep) must match the
+    plain jitted step exactly. On CPU every compiler-chosen layout is the
+    default, so this pins the mechanism — Format(AUTO, sharding) compile,
+    input_formats extraction, one-time state re-materialization, donation
+    across steps — not a layout change (that's the chip A/B,
+    logs/r5/layout_lab.log)."""
+    from vivid_tpu.train.step import jit_train_step
+    cfg, tcfg, step, state, batch = tiny_setup(batch=8)
+    mesh = make_mesh(n_data=8)
+    fresh = lambda: jax.tree.map(jnp.array, state)
+    f_plain, st_p = jit_train_step(step, mesh, fresh())
+    f_auto, st_a = jit_train_step(step, mesh, fresh(), auto_layout=True)
+    b = shard_batch(mesh, batch)
+    key = jax.random.PRNGKey(7)
+    for i in range(2):
+        st_p, stats_p = f_plain(st_p, b, jax.random.fold_in(key, i))
+        st_a, stats_a = f_auto(st_a, b, jax.random.fold_in(key, i))
+    np.testing.assert_allclose(float(stats_p["Loss/loss"]),
+                               float(stats_a["Loss/loss"]), rtol=1e-6)
+    for wa, wb in zip(jax.tree.leaves(st_p.params),
+                      jax.tree.leaves(st_a.params)):
+        np.testing.assert_allclose(np.asarray(wa), np.asarray(wb),
+                                   rtol=1e-6, atol=1e-7)
+
+
 def test_save_dots_remat_matches_full_remat():
     """remat='save_dots' (keep conv/attn outputs, recompute elementwise) is a
     backward-scheduling change only — gradients must match remat=True."""

@@ -120,8 +120,14 @@ def main():
         auto = Format(Layout.AUTO)
         jitted = jax.jit(step_fn, in_shardings=(auto, None, None),
                          out_shardings=(auto, None), donate_argnums=0)
+        def avals(t):
+            # AUTO layouts lower against abstract avals only (a concrete
+            # array carries a concrete layout, contradicting AUTO).
+            return jax.tree.map(lambda x: jax.ShapeDtypeStruct(
+                x.shape, x.dtype, sharding=x.sharding), t)
         t0 = time.perf_counter()
-        compiled = jitted.lower(state, batch, jax.random.PRNGKey(2)).compile()
+        compiled = jitted.lower(avals(state), avals(batch),
+                                avals(jax.random.PRNGKey(2))).compile()
         print(f"auto-layout compile: {time.perf_counter() - t0:.1f}s",
               flush=True)
         in_fmts = compiled.input_formats

@@ -272,7 +272,8 @@ def training_loop(
     step_fn, state = jit_train_step(
         make_train_step(loss_fn, model_cfg, train_cfg, ema_exponents),
         mesh, state, fsdp_axis="data" if fsdp else None,
-        accum=train_cfg.num_accum > 1)
+        accum=train_cfg.num_accum > 1,
+        auto_layout=os.environ.get("VIVID_AUTO_LAYOUT", "0") == "1")
     if fsdp:
         dist.print0(f"FSDP: state sharded over {n_data} devices")
     seed_key = base_key(seed)

@@ -168,8 +168,44 @@ def make_train_step(loss_fn: Callable, model_cfg, train_cfg: TrainConfig,
     return step
 
 
+class _AutoLayoutStep:
+    """AOT wrapper for AUTO-layout train steps. AUTO layouts are only
+    resolvable through lower()/compile(), so the first call compiles on the
+    live avals, converts the incoming state into the compiler-chosen layouts
+    once, and caches the executable; donation then keeps the state in those
+    layouts for every subsequent step. Exposes .lower() so the startup FLOPs
+    report (analyze_flops) keeps working."""
+
+    def __init__(self, jitted):
+        self._jitted = jitted
+        self._compiled = None
+
+    def lower(self, *args):
+        return self._jitted.lower(*map(self._avals, args))
+
+    @staticmethod
+    def _avals(tree):
+        # AUTO layouts only lower against abstract avals (a concrete array
+        # carries a concrete layout, which contradicts AUTO).
+        return jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                           sharding=x.sharding), tree)
+
+    def __call__(self, state, batch, rng):
+        if self._compiled is None:
+            comp = self._jitted.lower(self._avals(state), self._avals(batch),
+                                      self._avals(rng)).compile()
+            fmts = comp.input_formats
+            state_fmts = fmts[0][0] if isinstance(fmts, tuple) \
+                and len(fmts) == 2 else fmts[0]
+            state = jax.device_put(state, state_fmts)
+            self._compiled = comp
+        return self._compiled(state, batch, rng)
+
+
 def jit_train_step(step, mesh, state: TrainState, fsdp_axis: str = None,
-                   accum: bool = False, fsdp_min_size: int = 2 ** 13):
+                   accum: bool = False, fsdp_min_size: int = 2 ** 13,
+                   auto_layout: bool = False):
     """Jit `step` with the train state's shardings pinned over `mesh` and
     place `state` accordingly. Returns (jitted_step, placed_state).
 
@@ -189,6 +225,19 @@ def jit_train_step(step, mesh, state: TrainState, fsdp_axis: str = None,
         state_sh = jax.tree.map(lambda _: NamedSharding(mesh, P()), state)
     batch_sh = NamedSharding(mesh, P(None, "data") if accum else P("data"))
     rng_sh = NamedSharding(mesh, P())
+    if auto_layout:
+        # Compiler-chosen layouts for every state leaf: the r5 flagship
+        # train trace showed ~60% of the 19.8 ms copy/layout pool is XLA
+        # relayouting fp32 master weights into the MXU-tiled conv layout
+        # every step (docs/PERF.md "copy/layout pool is fp32 weight relayout
+        # traffic"). With AUTO the state LIVES in the preferred layout and
+        # the per-step relayouts disappear from steady state.
+        from jax.experimental.layout import Format, Layout
+        fmt_sh = jax.tree.map(lambda sh: Format(Layout.AUTO, sh), state_sh)
+        jitted = jax.jit(step, donate_argnums=0,
+                         in_shardings=(fmt_sh, batch_sh, rng_sh),
+                         out_shardings=(fmt_sh, None))
+        return _AutoLayoutStep(jitted), shard_tree(state, state_sh)
     jitted = jax.jit(step, donate_argnums=0,
                      in_shardings=(state_sh, batch_sh, rng_sh),
                      out_shardings=(state_sh, None))
